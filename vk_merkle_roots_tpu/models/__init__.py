@@ -1,0 +1,2 @@
+from .base import Sha256dEngine
+from .cpu import CpuSha256D
