@@ -12,7 +12,9 @@ Set VKMR_TEST_PLATFORM=tpu to run the suite against the real chip instead.
 import os
 
 if os.environ.get("VKMR_TEST_PLATFORM", "cpu") == "cpu":
-    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    # Force, don't setdefault: the ambient environment pins JAX_PLATFORMS to
+    # the TPU platform, and the suite must run on the virtual CPU mesh.
+    os.environ["JAX_PLATFORMS"] = "cpu"
     flags = os.environ.get("XLA_FLAGS", "")
     if "--xla_force_host_platform_device_count" not in flags:
         os.environ["XLA_FLAGS"] = (
@@ -21,6 +23,11 @@ if os.environ.get("VKMR_TEST_PLATFORM", "cpu") == "cpu":
 
 import numpy as np
 import pytest
+
+from vk_merkle_roots_tpu.config import enable_persistent_cache
+
+# Amortize XLA compiles across test runs.
+enable_persistent_cache()
 
 
 @pytest.fixture(scope="session")

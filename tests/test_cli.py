@@ -1,0 +1,80 @@
+"""CLI process contract (Vkmr.cpp:28-97 parity): stream in, summary line
+out, usage/empty-line/edge behavior."""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+from vk_merkle_roots_tpu import oracle
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run_cli(args, stdin: bytes, extra_env=None):
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)  # never dial the TPU tunnel in tests
+    env["JAX_PLATFORMS"] = "cpu"
+    if extra_env:
+        env.update(extra_env)
+    return subprocess.run(
+        [sys.executable, "-m", "vk_merkle_roots_tpu.cli", *args],
+        input=stdin,
+        capture_output=True,
+        env=env,
+        cwd=REPO,
+        timeout=300,
+    )
+
+
+def test_cpu_engine_root():
+    r = _run_cli(["CPU"], b"alpha\nbeta\ngamma\n")
+    assert r.returncode == 0
+    want = oracle.merkle_root([b"alpha", b"beta", b"gamma"]).hex()
+    out = r.stdout.decode()
+    assert f"=> {want} in" in out
+    assert "computed root (of 3 item(s), 14 byte(s))" in out
+
+
+def test_device_engine_matches_cpu():
+    stream = b"".join(bytes([65 + i % 26]) * (1 + i % 90) + b"\n" for i in range(200))
+    a = _run_cli(["CPU"], stream)
+    b = _run_cli(["XLA", "--slice-log2", "6"], stream)
+    assert a.returncode == 0 and b.returncode == 0
+    root_a = a.stdout.decode().split("=> ")[1].split(" ")[0]
+    root_b = b.stdout.decode().split("=> ")[1].split(" ")[0]
+    assert root_a == root_b
+
+
+def test_empty_lines_warned_and_skipped():
+    r = _run_cli(["CPU"], b"a\n\nb\n")
+    assert r.returncode == 0
+    assert r.stderr.decode().count("Read an empty string?") == 1
+    want = oracle.merkle_root([b"a", b"b"]).hex()
+    assert want in r.stdout.decode()
+
+
+def test_no_args_prints_usage_and_available():
+    r = _run_cli([], b"")
+    assert r.returncode == 1
+    err = r.stderr.decode()
+    assert "Usage:" in err and "* CPU" in err and "* XLA" in err
+
+
+def test_unknown_device_aborts():
+    r = _run_cli(["NoSuchDevice"], b"a\n")
+    assert r.returncode == 1
+    assert "No device selected; aborting." in r.stderr.decode()
+
+
+def test_empty_stream_prints_nothing():
+    r = _run_cli(["CPU"], b"")
+    assert r.returncode == 0
+    assert "computed root" not in r.stdout.decode()
+
+
+def test_trailing_fragment_is_a_line():
+    r = _run_cli(["CPU"], b"a\nb")  # no trailing newline
+    want = oracle.merkle_root([b"a", b"b"]).hex()
+    assert want in r.stdout.decode()

@@ -1,0 +1,100 @@
+"""End-to-end engine differential tests: TpuSha256D (device pipeline on the
+CPU test platform) vs the serial oracle engine — the framework's version of
+the reference's CPU-vs-GPU printed-root comparison (SURVEY.md §4)."""
+
+import numpy as np
+import pytest
+
+from vk_merkle_roots_tpu import CpuSha256D, oracle
+from vk_merkle_roots_tpu.config import EngineConfig
+from vk_merkle_roots_tpu.models.tpu import TpuSha256D
+from tests.conftest import random_leaves
+
+
+def _tpu_engine(slice_log2=6, batch_leaves=50):
+    return TpuSha256D(
+        name="test",
+        config=EngineConfig(slice_log2=slice_log2, batch_leaves=batch_leaves, backend="xla"),
+    )
+
+
+def test_empty_stream():
+    e = _tpu_engine()
+    assert e.Root() == ""
+    assert CpuSha256D().Root() == ""
+
+
+def test_single_leaf():
+    e = _tpu_engine()
+    assert e.Add(b"hello")
+    assert e.Root() == oracle.merkle_root([b"hello"]).hex()
+
+
+@pytest.mark.parametrize("n", [1, 2, 63, 64, 65, 200, 333])
+def test_multi_slice_stream_matches_oracle(rng, n):
+    """n spanning fewer/equal/more than one 64-leaf slice, incl. ragged."""
+    leaves = random_leaves(rng, n, maxlen=100)
+    e = _tpu_engine()
+    assert e.AddMany(leaves)
+    assert e.Root() == oracle.merkle_root(leaves).hex()
+
+
+def test_addspans_bulk(rng):
+    leaves = random_leaves(rng, 150, maxlen=60)
+    lengths = np.array([len(x) for x in leaves])
+    offsets = np.concatenate(([0], np.cumsum(lengths)[:-1]))
+    data = np.frombuffer(b"".join(leaves), dtype=np.uint8)
+    e = _tpu_engine()
+    assert e.AddSpans(data, offsets, lengths)
+    assert e.Root() == oracle.merkle_root(leaves).hex()
+
+
+def test_incremental_adds_cross_flush_boundaries(rng):
+    leaves = random_leaves(rng, 130, maxlen=40)
+    e = _tpu_engine(slice_log2=5, batch_leaves=7)
+    for leaf in leaves:
+        assert e.Add(leaf)
+    assert e.Root() == oracle.merkle_root(leaves).hex()
+
+
+def test_reset_between_streams(rng):
+    a = random_leaves(rng, 70, maxlen=30)
+    b = random_leaves(rng, 30, maxlen=30)
+    e = _tpu_engine()
+    e.AddMany(a)
+    r1 = e.Root()
+    assert e.Reset()
+    e.AddMany(b)
+    assert e.Root() == oracle.merkle_root(b).hex()
+    assert r1 == oracle.merkle_root(a).hex()
+
+
+def test_backpressure_bound(rng):
+    e = TpuSha256D(
+        name="bp",
+        config=EngineConfig(slice_log2=3, batch_leaves=8, backend="xla", max_slices_in_flight=2),
+    )
+    leaves = random_leaves(rng, 100, maxlen=20)
+    assert e.AddMany(leaves)
+    live = [r for r in e._roots if not isinstance(r, bytes)]
+    assert len(live) <= 3
+    assert e.Root() == oracle.merkle_root(leaves).hex()
+
+
+def test_oversized_leaf_rejected():
+    from vk_merkle_roots_tpu.constants import MAX_LEAF_BYTES
+
+    e = _tpu_engine()
+    # Fabricate the span without allocating 512 MB.
+    assert not e.AddSpans(
+        np.zeros(1, np.uint8), np.zeros(1, np.int64), np.array([MAX_LEAF_BYTES + 1])
+    )
+
+
+def test_stats_shape(rng):
+    e = _tpu_engine()
+    e.AddMany(random_leaves(rng, 80, maxlen=30))
+    e.Root()
+    stats = e.Stats()
+    assert stats["leaves"] == 80
+    assert "stages" in stats and "pack" in stats["stages"]

@@ -1,0 +1,52 @@
+"""Leaf-hash ("mapping") stage vs the hashlib oracle — XLA path on the CPU
+test platform; the Pallas path is exercised bit-exactly on TPU hardware by
+bench.py and (slowly, via interpret mode) by the `tpu_kernels` marker."""
+
+import numpy as np
+import pytest
+
+from vk_merkle_roots_tpu import oracle
+from vk_merkle_roots_tpu.ops.leaf_hash import leaf_hashes
+from vk_merkle_roots_tpu.packing import pack_leaves
+from vk_merkle_roots_tpu.utils.hexutil import words_to_digest
+from tests.conftest import random_leaves
+
+
+def _check(leaves, backend="xla"):
+    packed = pack_leaves(leaves)
+    digs = np.asarray(leaf_hashes(packed, backend=backend))[: packed.count]
+    for i, leaf in enumerate(leaves):
+        assert words_to_digest(digs[i]) == oracle.leaf_hash(leaf), f"leaf {i}"
+
+
+def test_single_bucket_fixed_length(rng):
+    _check(random_leaves(rng, 10, maxlen=32, minlen=32))
+
+
+def test_mixed_lengths_multi_bucket(rng):
+    _check(random_leaves(rng, 40, maxlen=200))
+
+
+@pytest.mark.parametrize("length", [1, 55, 56, 63, 64, 65, 119, 120, 127])
+def test_block_boundary_lengths(rng, length):
+    _check([rng.integers(0, 256, length, np.uint8).tobytes() for _ in range(3)])
+
+
+def test_empty_leaf_hashes_like_hashlib():
+    _check([b"", b"a"])
+
+
+def test_order_restored_across_buckets(rng):
+    # Interleave bucket membership so inverse_order is non-trivial.
+    leaves = []
+    for i in range(30):
+        leaves.append(bytes([i]) * (10 if i % 2 else 100))
+    _check(leaves)
+
+
+def test_quantized_output_rows(rng):
+    leaves = random_leaves(rng, 70, maxlen=30)
+    packed = pack_leaves(leaves)
+    out = leaf_hashes(packed, backend="xla")
+    assert out.shape[0] >= packed.count
+    assert out.shape[0] & (out.shape[0] - 1) == 0  # power of two

@@ -1,0 +1,132 @@
+"""``vkmr`` command-line interface.
+
+Process contract identical to the reference binary
+(``/root/reference/src/vkmr/Vkmr.cpp:28-97``): newline-separated byte
+strings on stdin; engine chosen by a positional device-name argument
+(auto-selected when exactly one is available, otherwise usage + the
+available list on stderr, exit 1); empty lines warned and skipped; summary
+line on stdout::
+
+    <name>: computed root (of N item(s), S byte(s)) => <hex root> in <ms>
+
+Extensions beyond the reference: ``--stats`` (structured per-stage timing),
+``--slice-log2 / --batch-leaves / --backend`` tuning flags (the reference
+hardcodes these policies, SHA-256vk.cpp:23).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from .config import EngineConfig, enable_persistent_cache
+from .models.cpu import CpuSha256D
+from .utils.timing import StopWatch
+
+
+def _tpu_device_names() -> list[str]:
+    """Enumerate JAX accelerator devices by kind — the registry role of
+    ``VkSha256D::Available`` (SHA-256vk.cpp:224-242)."""
+    try:
+        import jax
+
+        return sorted({d.device_kind for d in jax.devices() if d.platform != "cpu"})
+    except Exception:
+        return []
+
+
+def _make_engine(name: str, config: EngineConfig):
+    if name == "CPU":
+        return CpuSha256D()
+    from .models.tpu import TpuSha256D
+
+    return TpuSha256D(name=name, config=config)
+
+
+def run(engine, in_stream, out=sys.stdout, err=sys.stderr, stats: bool = False) -> int:
+    """The main loop (Vkmr.cpp:28-58): ingest every line, then print the
+    root + summary.  Returns process exit code."""
+    from .ingest import iter_line_spans
+
+    count = 0
+    size = 0
+    sw = StopWatch()
+    for data, offs, lens in iter_line_spans(in_stream):
+        nonempty = lens > 0
+        for _ in range(int((~nonempty).sum())):
+            print("Read an empty string?", file=err)
+        if not nonempty.all():
+            offs, lens = offs[nonempty], lens[nonempty]
+        if lens.size == 0:
+            continue
+        if not engine.AddSpans(data, offs, lens):
+            break
+        count += int(lens.size)
+        size += int(lens.sum())
+    if count > 0:
+        root = engine.Root()
+        elapsed = sw.Elapsed()
+        print(
+            f"{engine.Name()}: computed root (of {count} item(s), {size} byte(s))"
+            f" => {root} in {elapsed:g}",
+            file=out,
+        )
+    if stats:
+        import json
+
+        print(json.dumps(engine.Stats(), default=str), file=err)
+    return 0
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="vkmr", add_help=True, description=__doc__)
+    parser.add_argument("device", nargs="?", help="engine/device name (e.g. CPU, or a TPU kind)")
+    parser.add_argument("--stats", action="store_true", help="print per-stage timings to stderr")
+    parser.add_argument("--slice-log2", type=int, default=None)
+    parser.add_argument("--batch-leaves", type=int, default=None)
+    parser.add_argument("--backend", choices=["auto", "pallas", "xla"], default="auto")
+    args = parser.parse_args(argv)
+
+    config = EngineConfig()
+    if args.slice_log2 is not None:
+        config.slice_log2 = args.slice_log2
+    if args.batch_leaves is not None:
+        config.batch_leaves = args.batch_leaves
+    config.backend = args.backend
+
+    tpu_names = _tpu_device_names()
+    # "CPU" is the serial oracle engine; "XLA" runs the full device pipeline
+    # on the default JAX device (useful on hosts without an accelerator).
+    available = ["CPU"] + tpu_names + ["XLA"]
+    aliases = {"TPU": tpu_names[0]} if tpu_names else {}
+
+    name = args.device
+    if name is None:
+        if len(available) == 1:
+            name = available[0]
+        elif len(tpu_names) == 1:
+            # One accelerator + the CPU oracle: prefer the accelerator (the
+            # reference auto-selects only when exactly one engine exists,
+            # Vkmr.cpp:71-77; with a TPU present that is the one you want).
+            name = tpu_names[0]
+        else:
+            prog = parser.prog
+            print(f"Usage: {prog} <name of compute device>", file=sys.stderr)
+            print("Available: ", file=sys.stderr)
+            for n in available:
+                print(f"* {n}", file=sys.stderr)
+            return 1
+    name = aliases.get(name, name)
+    if name not in available:
+        print("No device selected; aborting.", file=sys.stderr)
+        return 1
+
+    print(f"Initializing for: {name}")
+    if name != "CPU":
+        enable_persistent_cache()
+    engine = _make_engine(name, config)
+    return run(engine, sys.stdin.buffer, stats=args.stats)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,51 @@
+"""Configuration layer.
+
+The reference hardcodes its policy constants (256 MB preferred slice/batch
+size ``MegaX`` at SHA-256vk.cpp:23, fallback workgroup 64 at
+Reductions.cpp:772) and derives the rest from device limits
+(Slices.h:421-454).  Here the same knobs are an explicit dataclass, settable
+from the CLI."""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+
+@dataclass
+class EngineConfig:
+    """Tuning knobs for the TPU streaming engine.
+
+    * ``slice_log2`` — leaves per slice (2^slice_log2); a slice's digest
+      buffer is the reduction unit, the analog of the reference's
+      device-local ``Slice`` sized to the largest single-pass-reducible
+      power of two (Slices.h:421-454).  2^20 leaves = 32 MB of digests.
+    * ``batch_leaves`` / ``batch_bytes`` — host-side flush thresholds, the
+      analog of ``Batch`` capacity (Batches.h:31-124).
+    * ``backend`` — "pallas" (TPU kernels), "xla" (portable fallback), or
+      "auto".
+    * ``max_slices_in_flight`` — backpressure bound: block on the oldest
+      slice root instead of queueing unboundedly (this is the reference's
+      acknowledged TODO at README.md:110-116, fixed here).
+    """
+
+    slice_log2: int = 20
+    batch_leaves: int = 1 << 16
+    batch_bytes: int = 64 << 20
+    backend: str = "auto"
+    max_slices_in_flight: int = 8
+
+
+def enable_persistent_cache(path: str | None = None) -> None:
+    """Turn on JAX's persistent compilation cache so kernel compiles are
+    paid once per machine, not once per process (the role the reference's
+    precompiled ``.spv`` artifacts play, Shaders.cpp:19-38)."""
+    import jax
+
+    cache_dir = path or os.environ.get(
+        "VKMR_COMPILE_CACHE", os.path.expanduser("~/.cache/vkmr_tpu_jax")
+    )
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

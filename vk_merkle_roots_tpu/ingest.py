@@ -1,0 +1,46 @@
+"""Streaming stdin ingest.
+
+Replaces the reference's byte-at-a-time ``fgetc`` reader
+(``/root/reference/src/vkmr/Inputs.cpp:75-101`` — a known host bottleneck)
+with chunked binary reads split by newline in vectorized NumPy; a C++ fast
+path (``native/ingest.cpp``) is used when built.  Line semantics match the
+reference exactly: lines are newline-separated, a trailing fragment without
+a final newline is still a line, empty lines are surfaced so the caller can
+warn and skip them (Vkmr.cpp:40-43).
+"""
+
+from __future__ import annotations
+
+from typing import BinaryIO, Iterator
+
+import numpy as np
+
+from .packing import split_lines
+
+DEFAULT_CHUNK = 8 << 20
+
+
+def iter_line_spans(
+    stream: BinaryIO, chunk_bytes: int = DEFAULT_CHUNK
+) -> Iterator[tuple[np.ndarray, np.ndarray, np.ndarray]]:
+    """Yield (data, offsets, lengths) span batches for newline-separated
+    lines read from a binary stream.  Lengths may include 0 for empty
+    lines — callers filter."""
+    carry = b""
+    while True:
+        block = stream.read(chunk_bytes)
+        if not block:
+            break
+        buf = carry + block
+        last_nl = buf.rfind(b"\n")
+        if last_nl < 0:
+            carry = buf
+            continue
+        complete, carry = buf[: last_nl + 1], buf[last_nl + 1 :]
+        data, offs, lens = split_lines(complete)
+        if lens.size:
+            yield data, offs, lens
+    if carry:
+        data, offs, lens = split_lines(carry)
+        if lens.size:
+            yield data, offs, lens

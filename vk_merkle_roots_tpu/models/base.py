@@ -40,6 +40,15 @@ class Sha256dEngine(abc.ABC):
                 return False
         return True
 
+    def AddSpans(self, data, offsets, lengths) -> bool:
+        """Bulk ingest of (offset, length) spans over one byte buffer.
+        Engines override with vectorized paths; the default loops ``Add``."""
+        view = memoryview(bytes(data))
+        for off, ln in zip(offsets, lengths):
+            if not self.Add(bytes(view[int(off) : int(off) + int(ln)])):
+                return False
+        return True
+
     @abc.abstractmethod
     def Root(self) -> str:
         ...

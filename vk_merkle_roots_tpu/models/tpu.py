@@ -1,0 +1,254 @@
+"""TPU streaming engine: the device-backed ``Sha256dEngine``.
+
+This is the framework's counterpart of ``VkSha256D::Instance``
+(``/root/reference/src/vkmr/SHA-256vk.cpp:244-429``): it owns the slice
+state, buffers incoming strings, flushes them to the device in batches, and
+overlaps host ingest with device hashing and reduction.
+
+Asynchrony model (replacing fences and the Mappings/Reductions managers,
+Ops.h:23-57): every device call is async under JAX dispatch — ``leaf_hashes``
+and ``reduce_perfect_block`` return futures; the host keeps packing the next
+batch while the device works.  Slice roots accumulate as device arrays and
+are only materialized in ``Root()``.  Backpressure is explicit: at most
+``max_slices_in_flight`` un-materialized slice roots are outstanding before
+the engine blocks on the oldest — the block-and-reuse behavior the reference
+lists as a TODO (README.md:110-116) instead of halting.
+
+Slice mechanics (Slices.h:31-251 equivalents):
+
+* the current slice is one HBM uint32 buffer of shape
+  ``(2^slice_log2 + slack, 8)`` holding digest rows; ``fill`` counts real
+  rows (the reservation counter, Slice::Reserve);
+* flushes are capped to the remaining slice space, mirroring the
+  reference's overflow put-back (SHA-256vk.cpp:389-426), so a digest chunk
+  never straddles slices;
+* the slack region absorbs the quantization padding of the last chunk
+  (chunk row counts are padded to powers of two for compile reuse) and is
+  never read;
+* a full slice is reduced immediately and the buffer is reused (the
+  donation-based update keeps it in place), like slices being freed eagerly
+  on reduction completion (README.md:83).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import numpy as np
+
+from .. import oracle
+from ..config import EngineConfig
+from ..constants import MAX_LEAF_BYTES
+from ..packing import pack_spans
+from ..utils.hexutil import words_to_digest
+from ..utils.timing import StageTimes, StopWatch
+from .base import Sha256dEngine
+
+_SLACK_LOG2 = 17  # slack rows (>= largest quantized chunk) after the slice
+
+
+def _jax():
+    import jax
+
+    return jax
+
+
+@lru_cache(maxsize=None)
+def _append_fn():
+    import jax
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def append(buf, chunk, offset):
+        return jax.lax.dynamic_update_slice(buf, chunk, (offset, 0))
+
+    return append
+
+
+class _PendingLeaves:
+    """Host-side FIFO of leaf spans over shared byte buffers (the Batch
+    front-end).  Supports popping an exact number of leaves, which may split
+    a stored chunk (offset/length arrays are sliced; data buffers are
+    shared, never copied)."""
+
+    def __init__(self) -> None:
+        self._chunks: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
+        self.count = 0
+        self.nbytes = 0
+
+    def push(self, data: np.ndarray, offsets: np.ndarray, lengths: np.ndarray) -> None:
+        if lengths.size == 0:
+            return
+        self._chunks.append((data, offsets, lengths))
+        self.count += int(lengths.size)
+        self.nbytes += int(lengths.sum())
+
+    def pop(self, n: int) -> list[tuple[np.ndarray, np.ndarray, np.ndarray]]:
+        out = []
+        while n > 0 and self._chunks:
+            data, offs, lens = self._chunks[0]
+            if lens.size <= n:
+                out.append(self._chunks.pop(0))
+                n -= lens.size
+                self.count -= int(lens.size)
+                self.nbytes -= int(lens.sum())
+            else:
+                out.append((data, offs[:n], lens[:n]))
+                self._chunks[0] = (data, offs[n:], lens[n:])
+                self.count -= n
+                self.nbytes -= int(lens[:n].sum())
+                n = 0
+        return out
+
+
+class TpuSha256D(Sha256dEngine):
+    """Streaming SHA-256d Merkle-root engine on a JAX device."""
+
+    def __init__(self, name: str | None = None, config: EngineConfig | None = None) -> None:
+        jax = _jax()
+        self.config = config or EngineConfig()
+        device = jax.devices()[0]
+        super().__init__(name or device.device_kind)
+        self._jnp = jax.numpy
+        self._cap = 1 << self.config.slice_log2
+        self._buf = None  # allocated lazily: (cap + slack, 8) uint32
+        self._fill = 0
+        self._roots: list = []  # device (8,) arrays OR host bytes, slice order
+        self._pending = _PendingLeaves()
+        self._count = 0
+        self._bytes = 0
+        self.times = StageTimes()
+
+    # -- ingest ------------------------------------------------------------
+
+    def Add(self, data: bytes) -> bool:
+        if len(data) > MAX_LEAF_BYTES:
+            return False
+        arr = np.frombuffer(data, dtype=np.uint8)
+        return self.AddSpans(arr, np.zeros(1, np.int64), np.array([len(data)], np.int64))
+
+    def AddMany(self, leaves) -> bool:
+        leaves = list(leaves)
+        if not leaves:
+            return True
+        lengths = np.fromiter((len(x) for x in leaves), dtype=np.int64, count=len(leaves))
+        if lengths.max(initial=0) > MAX_LEAF_BYTES:
+            return False
+        offsets = np.concatenate(([0], np.cumsum(lengths)[:-1]))
+        data = np.frombuffer(b"".join(leaves), dtype=np.uint8)
+        return self.AddSpans(data, offsets, lengths)
+
+    def AddSpans(self, data: np.ndarray, offsets: np.ndarray, lengths: np.ndarray) -> bool:
+        """Bulk ingest of (offset, length) spans over one buffer.  Lengths
+        must be positive (the CLI filters empty lines, Vkmr.cpp:40-43)."""
+        if lengths.size and int(lengths.max()) > MAX_LEAF_BYTES:
+            return False
+        try:
+            self._pending.push(np.asarray(data, np.uint8), np.asarray(offsets), np.asarray(lengths))
+            self._count += int(lengths.size)
+            self._bytes += int(lengths.sum())
+            while (
+                self._pending.count >= self.config.batch_leaves
+                or self._pending.nbytes >= self.config.batch_bytes
+            ):
+                self._flush_some()
+            return True
+        except MemoryError:
+            return False
+
+    # -- device pipeline ---------------------------------------------------
+
+    def _ensure_buf(self):
+        if self._buf is None:
+            self._buf = self._jnp.zeros((self._cap + (1 << _SLACK_LOG2), 8), self._jnp.uint32)
+
+    def _flush_some(self) -> None:
+        """Move up to one slice-limited batch of pending leaves to the
+        device: pack -> hash -> append to the current slice; reduce the
+        slice when it fills."""
+        from ..ops.leaf_hash import leaf_hashes
+        from ..ops.tree_reduce import reduce_perfect_block
+
+        if self._pending.count == 0:
+            return
+        self._ensure_buf()
+        space = self._cap - self._fill
+        take = min(self._pending.count, space, self.config.batch_leaves)
+        sw = StopWatch()
+        chunks = self._pending.pop(take)
+        append = _append_fn()
+        for data, offs, lens in chunks:
+            packed = pack_spans(data, offs, lens)
+            t_pack = sw.Elapsed()
+            self.times.add("pack", t_pack, int(lens.sum()))
+            sw.Start()
+            digs = leaf_hashes(packed, self.config.backend)
+            self._buf = append(self._buf, digs, np.int32(self._fill))
+            self._fill += packed.count
+            self.times.add("map_dispatch", sw.Elapsed(), int(lens.sum()))
+            sw.Start()
+        if self._fill == self._cap:
+            sw.Start()
+            root = reduce_perfect_block(
+                self._buf[: self._cap], self.config.slice_log2, self.config.backend
+            )
+            self._roots.append(root)
+            self._fill = 0
+            self.times.add("reduce_dispatch", sw.Elapsed(), self._cap * 32)
+            # Backpressure: bound in-flight roots (block-and-reuse, the
+            # reference's README.md:110-116 TODO).
+            live = [r for r in self._roots if not isinstance(r, bytes)]
+            if len(live) > self.config.max_slices_in_flight:
+                oldest = next(i for i, r in enumerate(self._roots) if not isinstance(r, bytes))
+                self._roots[oldest] = words_to_digest(np.asarray(self._roots[oldest]))
+
+    # -- finalization ------------------------------------------------------
+
+    def Root(self) -> str:
+        from ..ops.tree_reduce import merkle_root_of_digest_rows, slice_root
+
+        while self._pending.count > 0:
+            self._flush_some()
+        sw = StopWatch()
+        if self._fill > 0:
+            if not self._roots:
+                # Single (possibly ragged) slice: plain Merkle root.
+                root = merkle_root_of_digest_rows(
+                    self._buf[: self._fill], self._fill, self.config.backend
+                )
+                self.times.add("finalize", sw.Elapsed())
+                return root.hex()
+            # Ragged trailing slice: phantom full height (README.md:94).
+            self._roots.append(
+                slice_root(
+                    self._buf[: self._fill],
+                    self._fill,
+                    self.config.slice_log2,
+                    self.config.backend,
+                )
+            )
+        if not self._roots:
+            return ""
+        roots = [
+            r if isinstance(r, bytes) else words_to_digest(np.asarray(r)) for r in self._roots
+        ]
+        out = roots[0] if len(roots) == 1 else oracle.merkle_root_of_digests(roots)
+        self.times.add("finalize", sw.Elapsed())
+        return out.hex()
+
+    def Reset(self) -> bool:
+        self._buf = None
+        self._fill = 0
+        self._roots = []
+        self._pending = _PendingLeaves()
+        self._count = 0
+        self._bytes = 0
+        self.times = StageTimes()
+        return True
+
+    def Stats(self) -> dict:
+        return {
+            "leaves": self._count,
+            "bytes": self._bytes,
+            "slices_completed": len(self._roots),
+            "stages": self.times.summary(),
+        }

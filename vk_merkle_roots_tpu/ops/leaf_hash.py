@@ -1,0 +1,143 @@
+"""Leaf-hash ("mapping") stage: SHA-256d of every input string, batched.
+
+TPU-native equivalent of the reference's mapping pipeline — the
+``SHA-256-n.spv`` shader (one invocation per string,
+``/root/reference/src/shaders/SHA-256.comp:178-303``) plus the ``Mappings``
+dispatch machinery (Mappings.cpp:135-232).  Design differences, on purpose:
+
+* Padding happens on the host (``packing.py``), not in-kernel: the reference
+  byte-twiddles the 0x80 bit and length footer per invocation
+  (SHA-256.comp:254-283); a TPU kernel wants perfectly regular uint32 math,
+  so the kernel sees only whole big-endian message blocks.
+* Variable length is handled by *bucketing* leaves by message-block count —
+  each bucket compiles to a kernel with a static block loop — instead of
+  per-invocation data-dependent loops.
+* Layout: one leaf per VPU lane.  A grid step owns a (8,128) tile of 1024
+  leaves; message word t of the tile is a full (8,128) vector register, so
+  every round of the compression runs at full VPU width.  The host uploads
+  leaf-major words (zero reshuffling on CPU) and XLA transposes to the
+  word-major tile layout on-device at HBM bandwidth.
+
+Both a Pallas kernel and a pure-XLA fallback trace the same
+``sha256_core`` math, so they are bit-identical by construction.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..packing import PackedLeaves
+from . import sha256_core
+
+TILE_SUB = 8
+TILE_LANE = 128
+TILE = TILE_SUB * TILE_LANE  # leaves per grid step
+
+
+def _use_interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _leaf_kernel(x_ref, o_ref, *, nblocks: int):
+    """Hash 1024 leaves: x_ref block (1, nblocks*16, 8, 128) word-major,
+    o_ref block (1, 8, 8, 128) digest words."""
+    state = sha256_core.initial_state(x_ref[0, 0])
+    for b in range(nblocks):
+        w16 = [x_ref[0, b * 16 + t] for t in range(16)]
+        state = sha256_core.compress(state, w16)
+    state = sha256_core.finalize_sha256d(state)
+    for j in range(8):
+        o_ref[0, j] = state[j]
+
+
+@partial(jax.jit, static_argnums=(1, 2, 3))
+def _bucket_hashes(words, nblocks: int, use_pallas: bool, interpret: bool):
+    """(n, nblocks*16) big-endian words -> (n, 8) digest words."""
+    n = words.shape[0]
+    wcount = nblocks * 16
+    if not use_pallas:
+        cols = words.T
+        blocks = [[cols[b * 16 + t] for t in range(16)] for b in range(nblocks)]
+        state = sha256_core.leaf_digest_words(blocks, unroll=False)
+        return jnp.stack(state, axis=1)
+
+    t = -(-n // TILE)
+    padded = jnp.pad(words, ((0, t * TILE - n), (0, 0)))
+    # leaf-major -> word-major tiles: (T, W, 8, 128), all on device.
+    tiles = padded.reshape(t, TILE_SUB, TILE_LANE, wcount).transpose(0, 3, 1, 2)
+    out = pl.pallas_call(
+        partial(_leaf_kernel, nblocks=nblocks),
+        grid=(t,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, wcount, TILE_SUB, TILE_LANE),
+                lambda i: (i, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 8, TILE_SUB, TILE_LANE), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((t, 8, TILE_SUB, TILE_LANE), jnp.uint32),
+        interpret=interpret,
+    )(tiles)
+    return out.transpose(0, 2, 3, 1).reshape(-1, 8)[:n]
+
+
+def _quantized_rows(n: int) -> int:
+    """Pad bucket row counts to the next power of two (>= 64) so compiled
+    kernels are shared across batches instead of recompiling per exact
+    count.  Wasted rows hash zero blocks and are never gathered."""
+    if n >= 64:
+        return 1 << (n - 1).bit_length()
+    return 64
+
+
+def leaf_hashes(packed: PackedLeaves, backend: str = "auto") -> jax.Array:
+    """Hash all packed leaves; returns (quantized_rows, 8) uint32 digest
+    words whose first ``packed.count`` rows are the digests in original
+    input order (trailing rows are padding garbage — row counts are
+    quantized to powers of two so compiled programs are reused across
+    batches; callers slice or track ``packed.count``).
+
+    ``backend``: "pallas", "xla", or "auto" (pallas on TPU, xla elsewhere —
+    interpret-mode pallas is reserved for the kernel unit tests).
+    """
+    if packed.count == 0:
+        return jnp.zeros((0, 8), jnp.uint32)
+    interpret = _use_interpret()
+    use_pallas = backend == "pallas" or (backend == "auto" and not interpret)
+    parts = []
+    bases = []  # padded-concat row of each bucket's first real row
+    base = 0
+    for b in packed.buckets:
+        rows = _quantized_rows(b.count)
+        words = b.words
+        if rows != b.count:
+            words = np.zeros((rows, words.shape[1]), dtype=np.uint32)
+            words[: b.count] = b.words
+        parts.append(_bucket_hashes(jnp.asarray(words), b.nblocks, use_pallas, interpret))
+        bases.append(base)
+        base += rows
+    if len(parts) == 1:
+        cat = parts[0]
+        if np.array_equal(packed.inverse_order, np.arange(packed.count)):
+            return cat
+    else:
+        cat = jnp.concatenate(parts, axis=0)
+    # Map unpadded concat rows -> padded concat rows, then restore input
+    # order; the gather index is itself padded to a quantized length.
+    u2p = np.concatenate(
+        [np.arange(b.count, dtype=np.int64) + bases[i] for i, b in enumerate(packed.buckets)]
+    )
+    idx = u2p[packed.inverse_order]
+    out_rows = _quantized_rows(packed.count)
+    if out_rows != idx.size:
+        idx = np.concatenate([idx, np.zeros(out_rows - idx.size, dtype=np.int64)])
+    return jnp.take(cat, jnp.asarray(idx), axis=0)

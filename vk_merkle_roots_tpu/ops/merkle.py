@@ -1,0 +1,64 @@
+"""High-level device Merkle root: leaves -> root in one call.
+
+Convenience orchestration over ``packing`` + ``leaf_hash`` + ``tree_reduce``
+for batch (non-streaming) use, plus a fixed-shape fused step function — the
+"flagship forward step" — that jits the entire map+reduce for a static leaf
+count (the TPU analog of the reference's whole-pipeline run for a known
+dataset, SHA-256vk.cpp:288-313)."""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..packing import pack_leaves
+from ..utils.bitmath import ceil_log2, is_pow2
+from .leaf_hash import _bucket_hashes, leaf_hashes
+from .tree_reduce import _bitrev, merkle_root_of_digest_rows, reduce_bitrev_body
+
+
+def merkle_root_device(leaves: list[bytes], backend: str = "auto") -> bytes:
+    """Byte-exact Merkle root of a list of leaves, computed on device."""
+    if not leaves:
+        raise ValueError("cannot take the Merkle root of zero leaves")
+    packed = pack_leaves(leaves)
+    digests = leaf_hashes(packed, backend)[: packed.count]
+    return merkle_root_of_digest_rows(digests, packed.count, backend)
+
+
+def fused_root_fn(n_leaves: int, nblocks: int, backend: str = "auto"):
+    """Build a jittable fixed-shape step: (n_leaves, nblocks*16) packed words
+    -> (8,) root words, with hashing and the full tree reduction in one
+    compiled program.  ``n_leaves`` must be a power of two.
+
+    This is the single-chip "forward step" used by ``__graft_entry__`` and
+    the benchmarks.
+    """
+    if not is_pow2(n_leaves):
+        raise ValueError("fused_root_fn requires a power-of-two leaf count")
+    log2n = ceil_log2(n_leaves) if n_leaves > 1 else 0
+    interpret = jax.default_backend() != "tpu"
+    use_pallas = backend == "pallas" or (backend == "auto" and not interpret)
+    rev = jnp.asarray(_bitrev(log2n)) if log2n else None
+
+    def step(words):
+        digests = _bucket_hashes(words, nblocks, use_pallas, interpret)
+        if log2n == 0:
+            return digests[0]
+        fold = jnp.take(digests, rev, axis=0)
+        return reduce_bitrev_body(fold, log2n, use_pallas, interpret)
+
+    return step
+
+
+def example_words(n_leaves: int, leaf_bytes: int, seed: int = 0) -> np.ndarray:
+    """Deterministic packed-word input for a (n_leaves, fixed-size) batch —
+    benchmark/example feed."""
+    rng = np.random.default_rng(seed)
+    leaves = [rng.integers(32, 126, size=leaf_bytes, dtype=np.uint8).tobytes() for _ in range(n_leaves)]
+    packed = pack_leaves(leaves)
+    assert len(packed.buckets) == 1
+    return packed.buckets[0].words

@@ -1,0 +1,281 @@
+"""Tree-reduction stage: digests -> slice root, on device.
+
+TPU-native equivalent of the reference's reduction pipeline — the
+``SHA-256-2-be*.spv`` shaders (pairwise node hashing,
+``/root/reference/src/shaders/SHA-256.comp:307-434``) and the ``Reductions``
+manager with its per-level dispatches, odd-element duplication copies, and
+phantom-full-height rule for ragged tails (Reductions.cpp:235-547).
+
+Design, rethought for TPU:
+
+* **Bit-reversed storage** replaces strided pairing.  Digests of a 2^k-leaf
+  block are stored at the bit-reversal of their leaf index, which turns
+  every tree level into ``node_hash(first_half, second_half)`` — a purely
+  elementwise fold, perfect for the VPU.  (The Vulkan kernels instead index
+  pairs at stride ``1<<pass`` per invocation, SHA-256.comp:395.)
+* **Big levels** (>= 2 tiles of 1024 digests) are one elementwise Pallas
+  launch each — the analog of the reference's per-level dispatch loop
+  (Reductions.cpp:299-342), but with zero barriers to manage: XLA owns the
+  hazards.  The **tail** (<= 1024 digests) collapses into a single fused
+  kernel that folds all remaining levels in-register — the TPU counterpart
+  of the subgroup-shuffle subtree shader (SHA-256.comp:307-391), with
+  static sublane/lane splits replacing ``subgroupShuffleDown``.
+* **Odd counts** never reach the device: a ragged (non-power-of-two) slice
+  is decomposed into its binary-decomposition blocks — each an aligned,
+  perfect subtree reduced on-device — and the <=30 resulting block roots are
+  combined on the host with the exact odd-self-pair / phantom-height rules
+  (``_combine_ragged``).  This replaces the reference's on-device
+  duplicate-last-element buffer copies (Reductions.cpp:299-342).
+
+Every stage is jitted piecewise by shape so compile artifacts are shared
+across slice sizes; ``reduce_bitrev_body`` is also traceable inside a larger
+jit for the fused fixed-shape step.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .. import oracle
+from ..utils.bitmath import bit_reverse_indices, ceil_log2
+from ..utils.hexutil import words_to_digest
+from . import sha256_core
+
+TILE_SUB = 8
+TILE_LANE = 128
+TILE = TILE_SUB * TILE_LANE
+
+
+def _use_interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+# ---------------------------------------------------------------- big levels
+
+
+def _fold_kernel(l_ref, r_ref, o_ref):
+    """One tree level for one output tile: 1024 node hashes.
+    Blocks: (8, 1, 8, 128) digest words; L tile i pairs with R tile i+T/2."""
+    left = tuple(l_ref[j, 0] for j in range(8))
+    right = tuple(r_ref[j, 0] for j in range(8))
+    out = sha256_core.node_hash_words(left, right)
+    for j in range(8):
+        o_ref[j, 0] = out[j]
+
+
+def _fold_level_pallas(x, interpret: bool):
+    """(8, T, 8, 128) -> (8, T/2, 8, 128); requires T even."""
+    t_out = x.shape[1] // 2
+    return pl.pallas_call(
+        _fold_kernel,
+        grid=(t_out,),
+        in_specs=[
+            pl.BlockSpec(
+                (8, 1, TILE_SUB, TILE_LANE), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (8, 1, TILE_SUB, TILE_LANE),
+                lambda i, t_out=t_out: (0, i + t_out, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (8, 1, TILE_SUB, TILE_LANE), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((8, t_out, TILE_SUB, TILE_LANE), jnp.uint32),
+        interpret=interpret,
+    )(x, x)
+
+
+def _fold_level_xla(x):
+    """(8, n) -> (8, n/2) elementwise fold."""
+    half = x.shape[1] // 2
+    left = tuple(x[j, :half] for j in range(8))
+    right = tuple(x[j, half:] for j in range(8))
+    return jnp.stack(sha256_core.node_hash_words(left, right, unroll=False), axis=0)
+
+
+_fold_level_xla_jit = jax.jit(_fold_level_xla)
+_fold_level_pallas_jit = jax.jit(_fold_level_pallas, static_argnums=(1,))
+
+
+# ----------------------------------------------------------------- tail fuse
+
+
+def _tail_kernel(x_ref, o_ref, *, log2n: int):
+    """Fold all remaining levels of <=1024 bitrev-ordered digests in one
+    kernel (the subgroup-subtree analog; SHA-256.comp:307-391 does this with
+    ``subgroupShuffleDown``, here it is static sublane/lane splits on
+    shrinking register shapes).  x block (8, 8, 128); the root is broadcast
+    into o block (8, 1, 128).
+
+    Entries live at flattened (sublane*128 + lane) positions [0, n); folding
+    halves the live region: sublane split while more than one sublane is
+    live, then lane splits.
+    """
+    n = 1 << log2n
+    rows, cols = max(n // TILE_LANE, 1), min(n, TILE_LANE)
+    words = [x_ref[j, :rows, :cols] for j in range(8)]
+    for _ in range(log2n):
+        if rows > 1:
+            left = tuple(w[: rows // 2, :] for w in words)
+            right = tuple(w[rows // 2 :, :] for w in words)
+            rows //= 2
+        else:
+            left = tuple(w[:, : cols // 2] for w in words)
+            right = tuple(w[:, cols // 2 :] for w in words)
+            cols //= 2
+        words = list(sha256_core.node_hash_words(left, right))
+    for j in range(8):
+        o_ref[j] = jnp.broadcast_to(words[j][:1, :1], (1, TILE_LANE))
+
+
+@partial(jax.jit, static_argnums=(1, 2))
+def _tail_reduce_pallas(x, log2n: int, interpret: bool):
+    """(8, n<=1024) bitrev word-major -> (8,) root words, one fused launch."""
+    n = x.shape[1]
+    tile = jnp.zeros((8, TILE_SUB, TILE_LANE), jnp.uint32)
+    tile = tile.at[:, : max(n // TILE_LANE, 1), : min(n, TILE_LANE)].set(
+        x.reshape(8, max(n // TILE_LANE, 1), min(n, TILE_LANE))
+    )
+    out = pl.pallas_call(
+        partial(_tail_kernel, log2n=log2n),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((8, 1, TILE_LANE), jnp.uint32),
+        interpret=interpret,
+    )(tile)
+    return out[:, 0, 0]
+
+
+@jax.jit
+def _tail_reduce_xla(x):
+    while x.shape[1] > 1:
+        x = _fold_level_xla(x)
+    return x[:, 0]
+
+
+# ------------------------------------------------------------- orchestration
+
+
+def reduce_bitrev_body(digests_bitrev, log2n: int, use_pallas: bool, interpret: bool):
+    """Traceable body: perfect 2^log2n block in bit-reversed row order
+    -> (8,) root words.  Usable inside an enclosing jit (fused step)."""
+    n = 1 << log2n
+    x = digests_bitrev.T  # (8, n) word-major
+    if use_pallas:
+        if n >= 2 * TILE:
+            tiles = x.reshape(8, n // TILE, TILE_SUB, TILE_LANE)
+            while tiles.shape[1] >= 2:
+                tiles = _fold_level_pallas(tiles, interpret)
+            x = tiles.reshape(8, TILE)
+        return _tail_reduce_pallas(x, min(log2n, 10), interpret)
+    while x.shape[1] > 1:
+        x = _fold_level_xla(x)
+    return x[:, 0]
+
+
+def _reduce_bitrev(digests_bitrev, log2n: int, use_pallas: bool, interpret: bool):
+    """Piecewise-jitted orchestrator (shared compile artifacts per level
+    shape across all slice sizes)."""
+    n = 1 << log2n
+    x = digests_bitrev.T
+    if use_pallas:
+        if n >= 2 * TILE:
+            tiles = x.reshape(8, n // TILE, TILE_SUB, TILE_LANE)
+            while tiles.shape[1] >= 2:
+                tiles = _fold_level_pallas_jit(tiles, interpret)
+            x = tiles.reshape(8, TILE)
+        return _tail_reduce_pallas(x, min(log2n, 10), interpret)
+    while x.shape[1] > 1:
+        x = _fold_level_xla_jit(x)
+    return x[:, 0]
+
+
+_BITREV_CACHE: dict[int, np.ndarray] = {}
+
+
+def _bitrev(log2n: int) -> np.ndarray:
+    if log2n not in _BITREV_CACHE:
+        _BITREV_CACHE[log2n] = bit_reverse_indices(log2n)
+    return _BITREV_CACHE[log2n]
+
+
+@partial(jax.jit, static_argnums=(1,))
+def _bitrev_gather(digests, log2n: int):
+    return jnp.take(digests, jnp.asarray(_bitrev(log2n)), axis=0)
+
+
+def reduce_perfect_block(digests_nat, log2n: int, backend: str = "auto"):
+    """Root of a perfect 2^log2n-leaf subtree from natural-order digest rows.
+    Returns a (8,) uint32 device array (an async future under JAX dispatch —
+    the replacement for the reference's fence-tracked in-flight reductions,
+    Ops.h:41-57)."""
+    interpret = _use_interpret()
+    use_pallas = backend == "pallas" or (backend == "auto" and not interpret)
+    digests_nat = jnp.asarray(digests_nat)
+    if log2n == 0:
+        return digests_nat[0]
+    fold = _bitrev_gather(digests_nat, log2n)
+    return _reduce_bitrev(fold, log2n, use_pallas, interpret)
+
+
+# ------------------------------------------------------------- ragged slices
+
+
+def _combine_ragged(block_roots: list[tuple[bytes, int]], height: int) -> bytes:
+    """Host-side combine of binary-decomposition block roots.
+
+    ``block_roots``: [(digest, block_height)] in leaf order, strictly
+    decreasing heights.  Raises the running right-subtree with self-pairing
+    (the phantom rule) to each sibling's height, then joins; finally raises
+    to ``height``.  Exactly reproduces odd-self-pair-at-every-level
+    semantics (cf. oracle.reduce_slice, SHA-256plus.cpp:525-533)."""
+    cur, cur_h = block_roots[-1]
+    for root, h in reversed(block_roots[:-1]):
+        while cur_h < h:
+            cur = oracle.node_hash(cur, cur)
+            cur_h += 1
+        cur = oracle.node_hash(root, cur)
+        cur_h = h + 1
+    while cur_h < height:
+        cur = oracle.node_hash(cur, cur)
+        cur_h += 1
+    return cur
+
+
+def slice_root(digests_nat, count: int, height: int, backend: str = "auto") -> bytes:
+    """Root of one slice: ``count`` digests reduced through exactly
+    ``height`` levels (phantom-full-height for ragged tails).  Blocks on the
+    device; meant for slice finalization.  For the hot full-slice path use
+    :func:`reduce_perfect_block` directly (non-blocking)."""
+    if count < 1 or count > (1 << height):
+        raise ValueError(f"count={count} out of range for height={height}")
+    digests_nat = jnp.asarray(digests_nat)
+    if count == (1 << height):
+        return words_to_digest(np.asarray(reduce_perfect_block(digests_nat, height, backend)))
+    # Binary decomposition: aligned perfect blocks of strictly decreasing size.
+    blocks: list[tuple[bytes, int]] = []
+    start = 0
+    remaining = count
+    while remaining:
+        k = remaining.bit_length() - 1
+        root = reduce_perfect_block(
+            jax.lax.dynamic_slice_in_dim(digests_nat, start, 1 << k, axis=0), k, backend
+        )
+        blocks.append((words_to_digest(np.asarray(root)), k))
+        start += 1 << k
+        remaining -= 1 << k
+    return _combine_ragged(blocks, height)
+
+
+def merkle_root_of_digest_rows(digests_nat, count: int, backend: str = "auto") -> bytes:
+    """Plain Merkle root (odd-self-pair rule) of ``count`` natural-order
+    digest rows — the single-slice ``Count()``-levels case."""
+    return slice_root(digests_nat, count, ceil_log2(count) if count > 1 else 0, backend)
