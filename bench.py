@@ -1,0 +1,200 @@
+"""Benchmark harness — prints ONE JSON line with the headline metric.
+
+Headline: SHA-256d leaf-hash ("mapping") throughput on one chip, in GB/s of
+payload, against the reference's best published mapping row (Intel Iris Xe,
+~3.039 GB/s — /root/reference/README.md:105; see BASELINE.md).  Extras
+report reduction throughput (vs the reference's best reduction rows) and
+wall-clock root latency for 2^20 leaves.
+
+Measurement notes (this environment):
+* data is generated ON DEVICE — host<->device transfers through the remote
+  tunnel are pathologically slow and would measure the tunnel, not the chip;
+* ``block_until_ready`` is unreliable under the remote plugin, so timing
+  uses K dependent iterations inside one jitted ``fori_loop`` (the carry
+  perturbs one input element per iteration, forcing re-execution) bracketed
+  by a tiny checksum readback; per-iteration time = (loop - readback RTT)/K;
+* a small correctness gate (root vs hashlib oracle) runs before any timing.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def _correctness_gate():
+    import jax
+
+    from vk_merkle_roots_tpu import oracle
+    from vk_merkle_roots_tpu.ops.merkle import merkle_root_device
+
+    rng = np.random.default_rng(1712489279)
+    leaves = [
+        rng.integers(0, 256, size=int(rng.integers(1, 128)), dtype=np.uint8).tobytes()
+        for _ in range(1024)
+    ]
+    got = merkle_root_device(leaves, backend="auto")
+    want = oracle.merkle_root(leaves)
+    assert got == want, f"correctness gate failed: {got.hex()} != {want.hex()}"
+
+
+def _timed_loop(step_fn, init, iters: int) -> float:
+    """Median per-iteration seconds of a jitted dependent loop."""
+    import jax
+
+    out = step_fn(init, 1)  # warm/compile
+    _ = np.asarray(out[1])
+    # RTT baseline: a zero-iteration call.
+    rtts, times = [], []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _ = np.asarray(step_fn(init, 0)[1])
+        rtts.append(time.perf_counter() - t0)
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _ = np.asarray(step_fn(init, iters)[1])
+        times.append(time.perf_counter() - t0)
+    dt = max(np.median(times) - np.median(rtts), 1e-9)
+    return dt / iters
+
+
+def bench_leaf_hash(n_leaves: int, nblocks: int, iters: int = 20):
+    """Mapping throughput: one bucket of fixed-size leaves."""
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+
+    from vk_merkle_roots_tpu.ops.leaf_hash import _bucket_hashes
+
+    use_pallas = jax.default_backend() == "tpu"
+
+    @partial(jax.jit, static_argnums=(1,))
+    def step(words, iters):
+        def body(_, carry):
+            w, acc = carry
+            d = _bucket_hashes(w, nblocks, use_pallas, not use_pallas)
+            # Dependency chain: fold one digest word back into the input.
+            w = w.at[0, 0].add(d[0, 0])
+            return (w, acc ^ d[0, 1])
+
+        w, acc = jax.lax.fori_loop(0, iters, body, (words, jnp.uint32(0)))
+        return w, acc
+
+    key = jax.random.PRNGKey(0)
+    words = jax.random.randint(key, (n_leaves, nblocks * 16), 0, 1 << 30, dtype=jnp.int32).astype(
+        jnp.uint32
+    )
+    sec = _timed_loop(step, words, iters)
+    return sec
+
+
+def bench_reduce(log2n: int, iters: int = 10):
+    """Reduction throughput: full tree over 2^log2n digests (the
+    reference's 256 MB reduction benchmark shape at log2n=23)."""
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+
+    from vk_merkle_roots_tpu.ops.tree_reduce import reduce_bitrev_body
+
+    use_pallas = jax.default_backend() == "tpu"
+
+    @partial(jax.jit, static_argnums=(1,))
+    def step(digests, iters):
+        def body(_, carry):
+            d, acc = carry
+            root = reduce_bitrev_body(d, log2n, use_pallas, not use_pallas)
+            d = d.at[0, 0].add(root[0])
+            return (d, acc ^ root[1])
+
+        d, acc = jax.lax.fori_loop(0, iters, body, (digests, jnp.uint32(0)))
+        return d, acc
+
+    key = jax.random.PRNGKey(1)
+    digests = jax.random.randint(key, (1 << log2n, 8), 0, 1 << 30, dtype=jnp.int32).astype(
+        jnp.uint32
+    )
+    sec = _timed_loop(step, digests, iters)
+    return sec
+
+
+def bench_root_latency(n_leaves: int, leaf_bytes: int):
+    """Wall-clock root latency: fused hash+reduce, single dispatch."""
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+
+    from vk_merkle_roots_tpu.utils.bitmath import ceil_log2
+    from vk_merkle_roots_tpu.constants import padded_block_count
+    from vk_merkle_roots_tpu.ops.leaf_hash import _bucket_hashes
+    from vk_merkle_roots_tpu.ops.tree_reduce import _bitrev, reduce_bitrev_body
+
+    nblocks = padded_block_count(leaf_bytes)
+    log2n = ceil_log2(n_leaves)
+    use_pallas = jax.default_backend() == "tpu"
+    rev = jnp.asarray(_bitrev(log2n))
+
+    @partial(jax.jit, static_argnums=(1,))
+    def step(words, iters):
+        def body(_, carry):
+            w, acc = carry
+            d = _bucket_hashes(w, nblocks, use_pallas, not use_pallas)
+            fold = jnp.take(d, rev, axis=0)
+            root = reduce_bitrev_body(fold, log2n, use_pallas, not use_pallas)
+            w = w.at[0, 0].add(root[0])
+            return (w, acc ^ root[1])
+
+        return jax.lax.fori_loop(0, iters, body, (words, jnp.uint32(0)))
+
+    key = jax.random.PRNGKey(2)
+    words = jax.random.randint(key, (n_leaves, nblocks * 16), 0, 1 << 30, dtype=jnp.int32).astype(
+        jnp.uint32
+    )
+    return _timed_loop(step, words, iters=5)
+
+
+def main():
+    from vk_merkle_roots_tpu.config import enable_persistent_cache
+
+    enable_persistent_cache()
+    _correctness_gate()
+
+    # Mapping: 2^20 leaves x 127 B (the canonical leaf size; 3 blocks).
+    n_leaves, leaf_bytes, nblocks = 1 << 20, 127, 3
+    sec = bench_leaf_hash(n_leaves, nblocks)
+    payload_gbps = n_leaves * leaf_bytes / sec / 1e9
+    leaf_hashes_per_s = n_leaves / sec
+
+    # Reduction: 2^23 digests = 256 MB, the reference's benchmark shape.
+    red_sec = bench_reduce(23)
+    red_gbps = (1 << 23) * 32 / red_sec / 1e9
+    red_nodes_per_s = ((1 << 23) - 1) / red_sec
+
+    lat_sec = bench_root_latency(1 << 20, 127)
+
+    # Baselines: reference's best published rows (BASELINE.md).
+    base_map_gbps = 3.039  # Iris Xe mapping
+    base_red_gbps = 16.0  # RTX 4070 Super reduction
+
+    result = {
+        "metric": "sha256d_leaf_hash_throughput",
+        "value": round(payload_gbps, 3),
+        "unit": "GB/s",
+        "vs_baseline": round(payload_gbps / base_map_gbps, 2),
+        "extras": {
+            "leaf_hashes_per_sec": round(leaf_hashes_per_s),
+            "leaf_shape": f"2^20 x {leaf_bytes}B",
+            "reduction_GBps_2^23_digests": round(red_gbps, 3),
+            "reduction_vs_best_baseline": round(red_gbps / base_red_gbps, 2),
+            "reduction_node_hashes_per_sec": round(red_nodes_per_s),
+            "root_latency_ms_2^20x127B": round(lat_sec * 1e3, 3),
+            "backend": __import__("jax").default_backend(),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,71 @@
+"""Multi-device sharding on the virtual 8-device CPU mesh: DP over leaf
+sub-slices, all-gather of sub-roots, replicated top merge (SURVEY.md §2.4's
+TPU distribution story)."""
+
+import numpy as np
+import pytest
+
+from vk_merkle_roots_tpu import oracle
+from vk_merkle_roots_tpu.packing import pack_leaves
+from vk_merkle_roots_tpu.parallel.mesh import make_mesh, make_sharded_root_fn, shard_words
+from vk_merkle_roots_tpu.utils.hexutil import words_to_digest
+
+
+def _fixed_leaves(rng, n, size=24):
+    return [rng.integers(32, 126, size=size, dtype=np.uint8).tobytes() for _ in range(n)]
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    import jax
+
+    devs = jax.devices()
+    if len(devs) < 8:
+        pytest.skip("needs 8 devices (XLA_FLAGS=--xla_force_host_platform_device_count=8)")
+    return make_mesh(devices=devs, n_devices=8)
+
+
+@pytest.mark.parametrize("n_leaves", [8, 512, 2048])
+def test_sharded_root_matches_oracle(rng, mesh8, n_leaves):
+    leaves = _fixed_leaves(rng, n_leaves)
+    packed = pack_leaves(leaves)
+    words = packed.buckets[0].words
+    fn = make_sharded_root_fn(mesh8, n_leaves, nblocks=1, backend="xla")
+    root = words_to_digest(np.asarray(fn(shard_words(mesh8, words))))
+    assert root == oracle.merkle_root(leaves)
+
+
+def test_two_device_mesh(rng):
+    import jax
+
+    mesh = make_mesh(devices=jax.devices(), n_devices=2)
+    leaves = _fixed_leaves(rng, 256)
+    packed = pack_leaves(leaves)
+    fn = make_sharded_root_fn(mesh, 256, nblocks=1, backend="xla")
+    root = words_to_digest(np.asarray(fn(shard_words(mesh, packed.buckets[0].words))))
+    assert root == oracle.merkle_root(leaves)
+
+
+def test_single_device_mesh_degenerates(rng):
+    import jax
+
+    mesh = make_mesh(devices=jax.devices(), n_devices=1)
+    leaves = _fixed_leaves(rng, 64)
+    packed = pack_leaves(leaves)
+    fn = make_sharded_root_fn(mesh, 64, nblocks=1, backend="xla")
+    root = words_to_digest(np.asarray(fn(shard_words(mesh, packed.buckets[0].words))))
+    assert root == oracle.merkle_root(leaves)
+
+
+def test_invalid_shapes_rejected(mesh8):
+    with pytest.raises(ValueError):
+        make_sharded_root_fn(mesh8, 100, nblocks=1)  # not a power of two
+
+
+def test_dryrun_multichip_entrypoint():
+    import sys, os
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(8)

@@ -16,10 +16,15 @@ Design, rethought for TPU:
 * **Big levels** (>= 2 tiles of 1024 digests) are one elementwise Pallas
   launch each — the analog of the reference's per-level dispatch loop
   (Reductions.cpp:299-342), but with zero barriers to manage: XLA owns the
-  hazards.  The **tail** (<= 1024 digests) collapses into a single fused
-  kernel that folds all remaining levels in-register — the TPU counterpart
-  of the subgroup-shuffle subtree shader (SHA-256.comp:307-391), with
-  static sublane/lane splits replacing ``subgroupShuffleDown``.
+  hazards.  The **tail** (<= 1024 digests, <= 2047 node hashes — noise) runs
+  as XLA elementwise folds.  A fused in-register tail kernel
+  (``_tail_kernel`` — the TPU counterpart of the subgroup-shuffle subtree
+  shader, SHA-256.comp:307-391, with static sublane/lane splits replacing
+  ``subgroupShuffleDown``) is kept as a benchmark variant: like the
+  reference's subgroup path, which its README shows *losing* to the plain
+  per-level path on every listed GPU (README.md:100-108), it buys nothing
+  here and costs minutes of Mosaic compile time for its deeply unrolled
+  body, so it is not the default.
 * **Odd counts** never reach the device: a ragged (non-power-of-two) slice
   is decomposed into its binary-decomposition blocks — each an aligned,
   perfect subtree reduced on-device — and the <=30 resulting block roots are
@@ -93,15 +98,17 @@ def _fold_level_pallas(x, interpret: bool):
     )(x, x)
 
 
-def _fold_level_xla(x):
-    """(8, n) -> (8, n/2) elementwise fold."""
+def _fold_level_xla(x, unroll: bool = False):
+    """(8, n) -> (8, n/2) elementwise fold.  ``unroll`` trades compile time
+    for runtime (unrolled on TPU where the persistent cache amortizes it,
+    rolled on hosts)."""
     half = x.shape[1] // 2
     left = tuple(x[j, :half] for j in range(8))
     right = tuple(x[j, half:] for j in range(8))
-    return jnp.stack(sha256_core.node_hash_words(left, right, unroll=False), axis=0)
+    return jnp.stack(sha256_core.node_hash_words(left, right, unroll=unroll), axis=0)
 
 
-_fold_level_xla_jit = jax.jit(_fold_level_xla)
+_fold_level_xla_jit = jax.jit(_fold_level_xla, static_argnums=(1,))
 _fold_level_pallas_jit = jax.jit(_fold_level_pallas, static_argnums=(1,))
 
 
@@ -166,18 +173,22 @@ def _tail_reduce_xla(x):
 
 def reduce_bitrev_body(digests_bitrev, log2n: int, use_pallas: bool, interpret: bool):
     """Traceable body: perfect 2^log2n block in bit-reversed row order
-    -> (8,) root words.  Usable inside an enclosing jit (fused step)."""
+    -> (8,) root words.  Usable inside an enclosing jit (fused step).
+
+    Pallas handles every level with >= 2 full tiles (where all the hashes
+    are); the sub-tile tail (<= 1024 digests, <= 2047 node hashes — noise)
+    runs as rolled-XLA elementwise folds, which compile in seconds where a
+    10-level fused Mosaic kernel takes minutes.
+    """
     n = 1 << log2n
     x = digests_bitrev.T  # (8, n) word-major
-    if use_pallas:
-        if n >= 2 * TILE:
-            tiles = x.reshape(8, n // TILE, TILE_SUB, TILE_LANE)
-            while tiles.shape[1] >= 2:
-                tiles = _fold_level_pallas(tiles, interpret)
-            x = tiles.reshape(8, TILE)
-        return _tail_reduce_pallas(x, min(log2n, 10), interpret)
+    if use_pallas and n >= 2 * TILE:
+        tiles = x.reshape(8, n // TILE, TILE_SUB, TILE_LANE)
+        while tiles.shape[1] >= 2:
+            tiles = _fold_level_pallas(tiles, interpret)
+        x = tiles.reshape(8, TILE)
     while x.shape[1] > 1:
-        x = _fold_level_xla(x)
+        x = _fold_level_xla(x)  # rolled: the tail is runtime noise, compile time is not
     return x[:, 0]
 
 
@@ -186,15 +197,13 @@ def _reduce_bitrev(digests_bitrev, log2n: int, use_pallas: bool, interpret: bool
     shape across all slice sizes)."""
     n = 1 << log2n
     x = digests_bitrev.T
-    if use_pallas:
-        if n >= 2 * TILE:
-            tiles = x.reshape(8, n // TILE, TILE_SUB, TILE_LANE)
-            while tiles.shape[1] >= 2:
-                tiles = _fold_level_pallas_jit(tiles, interpret)
-            x = tiles.reshape(8, TILE)
-        return _tail_reduce_pallas(x, min(log2n, 10), interpret)
+    if use_pallas and n >= 2 * TILE:
+        tiles = x.reshape(8, n // TILE, TILE_SUB, TILE_LANE)
+        while tiles.shape[1] >= 2:
+            tiles = _fold_level_pallas_jit(tiles, interpret)
+        x = tiles.reshape(8, TILE)
     while x.shape[1] > 1:
-        x = _fold_level_xla_jit(x)
+        x = _fold_level_xla_jit(x, False)
     return x[:, 0]
 
 

@@ -1,0 +1,111 @@
+"""Multi-chip data parallelism over a ``jax.sharding.Mesh``.
+
+The reference is strictly single-GPU — it *enumerates* all Vulkan devices
+but hands exactly one to an engine (``/root/reference/src/vkmr/
+SHA-256vk.cpp:224-229``; SURVEY.md §2.4 records DP/TP/PP as absent).  Its
+own scaling construct is the pow-2 **slice** decomposition with host-side
+merge of sub-tree roots (README.md:87-96).  That construct is exactly what
+distributes across a TPU mesh:
+
+* leaves are sharded over the ``data`` axis in equal pow-2 sub-slices
+  (pure DP — one shader-invocation-per-leaf becomes one lane-per-leaf per
+  chip);
+* each chip hashes its shard and reduces its sub-slice to a root entirely
+  locally (no communication — sub-slices are aligned perfect subtrees);
+* the per-chip roots ride one tiny ``all_gather`` over ICI (ndev x 32 B),
+  and every chip computes the identical top ``log2(ndev)`` levels of the
+  tree, replicated.
+
+This replaces the reference's *CPU* merge of slice roots
+(Reductions.cpp:670-713, acknowledged in README.md:81 as a contravention of
+the GPU-only goal) with an on-device merge.  Communication volume is
+independent of input size, so scaling efficiency is limited only by the
+ragged tail of the leaf-hash work.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..utils.bitmath import ceil_log2, is_pow2
+from ..ops.leaf_hash import _leaf_kernel  # noqa: F401  (re-export site)
+from ..ops import leaf_hash as _lh
+from ..ops import tree_reduce as _tr
+
+DATA_AXIS = "data"
+
+
+def make_mesh(devices=None, n_devices: int | None = None) -> Mesh:
+    """A 1-D data-parallel mesh (the framework's only parallelism axis —
+    leaves are i.i.d. work, so DP is the whole story; cf. SURVEY.md §2.4)."""
+    devs = list(devices) if devices is not None else jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), (DATA_AXIS,))
+
+
+def make_sharded_root_fn(mesh: Mesh, n_leaves: int, nblocks: int, backend: str = "auto"):
+    """Build a jittable sharded step: packed words (n_leaves, nblocks*16)
+    row-sharded over the mesh -> replicated (8,) root words.
+
+    ``n_leaves`` must be a power of two divisible by the mesh size; each
+    shard is then an aligned perfect subtree, so per-chip roots merge with
+    zero phantom/odd handling (ragged streams are closed out by the host
+    engine, which only ever ships aligned batches here).
+    """
+    ndev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+    if not is_pow2(n_leaves) or n_leaves % ndev or not is_pow2(ndev):
+        raise ValueError("n_leaves and mesh size must be powers of two with ndev | n_leaves")
+    per = n_leaves // ndev
+    log2per = ceil_log2(per) if per > 1 else 0
+    log2dev = ceil_log2(ndev) if ndev > 1 else 0
+    interpret = jax.default_backend() != "tpu"
+    use_pallas = backend == "pallas" or (backend == "auto" and not interpret)
+    rev_local = jnp.asarray(_tr._bitrev(log2per)) if log2per else None
+    rev_dev = jnp.asarray(_tr._bitrev(log2dev)) if log2dev else None
+
+    def local_step(words_shard):
+        digests = _lh._bucket_hashes(words_shard, nblocks, use_pallas, interpret)
+        if log2per:
+            fold = jnp.take(digests, rev_local, axis=0)
+            root = _tr.reduce_bitrev_body(fold, log2per, use_pallas, interpret)
+        else:
+            root = digests[0]
+        if not log2dev:
+            return root
+        roots = jax.lax.all_gather(root, DATA_AXIS)  # (ndev, 8) — 32 B/chip
+        fold2 = jnp.take(roots, rev_dev, axis=0)
+        # Top of the tree: identical (replicated) computation on every chip,
+        # ndev is small so the XLA elementwise fold is the right shape.
+        x = fold2.T
+        while x.shape[1] > 1:
+            x = _tr._fold_level_xla(x)
+        return x[:, 0]
+
+    try:
+        from jax import shard_map
+
+        kw = {"check_vma": False}
+    except ImportError:  # older JAX
+        from jax.experimental.shard_map import shard_map
+
+        kw = {"check_rep": False}
+
+    sharded = shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=P(DATA_AXIS, None),
+        out_specs=P(),
+        **kw,
+    )
+    return jax.jit(sharded)
+
+
+def shard_words(mesh: Mesh, words: np.ndarray):
+    """Place a packed word array row-sharded over the mesh."""
+    return jax.device_put(words, NamedSharding(mesh, P(DATA_AXIS, None)))
