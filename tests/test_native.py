@@ -1,0 +1,97 @@
+"""Native C++ library vs the Python/NumPy implementations (byte equality
+everywhere; the .so is a fast path, never a semantic fork)."""
+
+import io
+
+import numpy as np
+import pytest
+
+from vk_merkle_roots_tpu import oracle
+from vk_merkle_roots_tpu.native import lib as nl
+from vk_merkle_roots_tpu.packing import pack_leaves, reference_padded_words
+from tests.conftest import random_leaves
+
+pytestmark = pytest.mark.skipif(not nl.native_available(), reason="native lib unavailable")
+
+
+def test_leaf_hashes_match_oracle(rng):
+    leaves = random_leaves(rng, 50, maxlen=300) + [b"", b"x" * 1024]
+    got = nl.native_leaf_hashes(leaves)
+    assert got == [oracle.leaf_hash(x) for x in leaves]
+
+
+def test_merkle_root_matches_oracle(rng):
+    for n in (1, 2, 3, 7, 64, 100):
+        leaves = random_leaves(rng, n, maxlen=50)
+        digs = np.frombuffer(
+            b"".join(oracle.leaf_hash(x) for x in leaves), np.uint8
+        ).reshape(-1, 32)
+        assert nl.native_merkle_root(digs) == oracle.merkle_root(leaves)
+
+
+def test_phantom_height_matches_oracle(rng):
+    leaves = random_leaves(rng, 5, maxlen=20)
+    digs = np.frombuffer(b"".join(oracle.leaf_hash(x) for x in leaves), np.uint8).reshape(-1, 32)
+    want = oracle.reduce_slice([oracle.leaf_hash(x) for x in leaves], 4)
+    assert nl.native_merkle_root(digs, height=4) == want
+
+
+def test_merkle_root_error_codes(rng):
+    digs = np.zeros((5, 32), np.uint8)
+    with pytest.raises(ValueError):
+        nl.native_merkle_root(digs, height=2)  # 5 > 2^2
+
+
+def test_pack_bucket_matches_numpy(rng):
+    for length in (0, 1, 55, 56, 64, 127, 200):
+        leaf = rng.integers(0, 256, length, np.uint8).tobytes()
+        data = np.frombuffer(leaf, np.uint8) if leaf else np.zeros(0, np.uint8)
+        out = nl.native_pack_bucket(
+            data, np.zeros(1, np.int64), np.array([length], np.int64),
+            (length + 9 + 63) // 64,
+        )
+        np.testing.assert_array_equal(out[0], reference_padded_words(leaf))
+
+
+def test_rndm_stream_matches_python():
+    from vk_merkle_roots_tpu.tools.rndm import GlibcRand
+
+    stream = nl.native_rndm_stream(1712489279, 32, 50)
+    rng = GlibcRand(1712489279)
+    expect = bytearray()
+    for _ in range(32):
+        n = 1 + rng.rand() % 49
+        expect += bytes(32 + rng.rand() % 94 for _ in range(n)) + b"\n"
+    assert stream == bytes(expect)
+
+
+def test_rndm_rejects_degenerate_maxlen():
+    with pytest.raises(ValueError):
+        nl.native_rndm_stream(1, 10, 1)
+
+
+def test_cpu_engine_uses_native_consistently(rng):
+    """CpuSha256D via spans (native path) == per-leaf hashlib path."""
+    from vk_merkle_roots_tpu.models.cpu import CpuSha256D
+
+    leaves = random_leaves(rng, 100, maxlen=80)
+    lengths = np.array([len(x) for x in leaves])
+    offsets = np.concatenate(([0], np.cumsum(lengths)[:-1]))
+    data = np.frombuffer(b"".join(leaves), np.uint8)
+    a = CpuSha256D()
+    assert a.AddSpans(data, offsets, lengths)
+    b = CpuSha256D()
+    for leaf in leaves:
+        b.Add(leaf)
+    assert a.Root() == b.Root() == oracle.merkle_root(leaves).hex()
+
+
+def test_packing_native_vs_numpy_fallback(rng, monkeypatch):
+    leaves = random_leaves(rng, 60, maxlen=150)
+    with_native = pack_leaves(leaves)
+    import vk_merkle_roots_tpu.native.lib as nlib
+
+    monkeypatch.setattr(nlib, "_load", lambda: None)
+    without = pack_leaves(leaves)
+    for a, b in zip(with_native.buckets, without.buckets):
+        np.testing.assert_array_equal(a.words, b.words)

@@ -38,9 +38,37 @@ class CpuSha256D(Sha256dEngine):
             pass
         return super().AddMany(leaves)
 
+    def AddSpans(self, data, offsets, lengths) -> bool:
+        import numpy as np
+
+        lengths = np.asarray(lengths)
+        if lengths.size and int(lengths.max()) > MAX_LEAF_BYTES:
+            return False
+        try:
+            from ..native.lib import native_leaf_hashes_spans
+
+            out = native_leaf_hashes_spans(np.asarray(data, np.uint8), np.asarray(offsets), lengths)
+            if out is not None:
+                self._digests.extend(out[i].tobytes() for i in range(out.shape[0]))
+                return True
+        except Exception:
+            pass
+        return super().AddSpans(data, offsets, lengths)
+
     def Root(self) -> str:
         if not self._digests:
             return ""
+        try:
+            import numpy as np
+
+            from ..native.lib import native_merkle_root
+
+            arr = np.frombuffer(b"".join(self._digests), np.uint8).reshape(-1, 32)
+            root = native_merkle_root(arr)
+            if root is not None:
+                return root.hex()
+        except Exception:
+            pass
         return oracle.merkle_root_of_digests(self._digests).hex()
 
     def Reset(self) -> bool:

@@ -1,0 +1,151 @@
+"""ctypes loader for the native host library (graceful fallback).
+
+The reference is 100% native C++; this framework keeps its *host-side* hot
+paths native too (scalar SHA-256d engine, bucket packer, fixture generator)
+while the device path is JAX/Pallas.  If the shared library is missing, we
+try one best-effort ``make``; on failure every entry point degrades to the
+pure-Python/NumPy implementations (correctness never depends on the .so).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from functools import lru_cache
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SO = os.path.join(_DIR, "libvkmr_native.so")
+
+
+@lru_cache(maxsize=1)
+def _load():
+    if not os.path.exists(_SO):
+        try:
+            subprocess.run(
+                ["make", "-C", _DIR, "-s"],
+                check=True,
+                capture_output=True,
+                timeout=120,
+            )
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(_SO)
+    except OSError:
+        return None
+    if lib.vkmr_native_abi() != 1:
+        return None
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+    lib.vkmr_leaf_hashes.argtypes = [u8p, i64p, i64p, ctypes.c_int64, u8p]
+    lib.vkmr_merkle_root.argtypes = [u8p, ctypes.c_int64, ctypes.c_int32, u8p]
+    lib.vkmr_merkle_root.restype = ctypes.c_int32
+    lib.vkmr_pack_bucket.argtypes = [u8p, i64p, i64p, ctypes.c_int64, ctypes.c_int32, u32p]
+    lib.vkmr_rndm_stream.argtypes = [
+        ctypes.c_uint32,
+        ctypes.c_int64,
+        ctypes.c_int32,
+        u8p,
+        ctypes.c_int64,
+    ]
+    lib.vkmr_rndm_stream.restype = ctypes.c_int64
+    return lib
+
+
+def native_available() -> bool:
+    return _load() is not None
+
+
+def _ptr(arr, ctype):
+    return arr.ctypes.data_as(ctypes.POINTER(ctype))
+
+
+def native_leaf_hashes_spans(data: np.ndarray, offsets: np.ndarray, lengths: np.ndarray):
+    """(n,) spans -> (n, 32) uint8 digests, or None when unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    data = np.ascontiguousarray(data, np.uint8)
+    offsets = np.ascontiguousarray(offsets, np.int64)
+    lengths = np.ascontiguousarray(lengths, np.int64)
+    n = int(lengths.size)
+    out = np.empty((n, 32), np.uint8)
+    lib.vkmr_leaf_hashes(
+        _ptr(data, ctypes.c_uint8),
+        _ptr(offsets, ctypes.c_int64),
+        _ptr(lengths, ctypes.c_int64),
+        n,
+        _ptr(out, ctypes.c_uint8),
+    )
+    return out
+
+
+def native_leaf_hashes(leaves) -> list[bytes] | None:
+    lib = _load()
+    if lib is None:
+        return None
+    leaves = list(leaves)
+    if not leaves:
+        return []
+    lengths = np.fromiter((len(x) for x in leaves), np.int64, count=len(leaves))
+    offsets = np.concatenate(([0], np.cumsum(lengths)[:-1]))
+    data = np.frombuffer(b"".join(leaves), np.uint8)
+    out = native_leaf_hashes_spans(data, offsets, lengths)
+    return [out[i].tobytes() for i in range(len(leaves))]
+
+
+def native_merkle_root(digests: np.ndarray, height: int = -1) -> bytes | None:
+    """Root of (n, 32) uint8 digest rows; height=-1 reduces to one node,
+    height>=0 runs exactly that many levels (phantom rule)."""
+    lib = _load()
+    if lib is None:
+        return None
+    digests = np.ascontiguousarray(digests, np.uint8)
+    out = np.empty(32, np.uint8)
+    rc = lib.vkmr_merkle_root(
+        _ptr(digests, ctypes.c_uint8),
+        int(digests.shape[0]),
+        int(height),
+        _ptr(out, ctypes.c_uint8),
+    )
+    if rc != 0:
+        raise ValueError(f"vkmr_merkle_root failed: rc={rc}")
+    return out.tobytes()
+
+
+def native_pack_bucket(
+    data: np.ndarray, offsets: np.ndarray, lengths: np.ndarray, nblocks: int
+) -> np.ndarray | None:
+    lib = _load()
+    if lib is None:
+        return None
+    data = np.ascontiguousarray(data, np.uint8)
+    offsets = np.ascontiguousarray(offsets, np.int64)
+    lengths = np.ascontiguousarray(lengths, np.int64)
+    n = int(lengths.size)
+    out = np.empty((n, nblocks * 16), np.uint32)
+    lib.vkmr_pack_bucket(
+        _ptr(data, ctypes.c_uint8),
+        _ptr(offsets, ctypes.c_int64),
+        _ptr(lengths, ctypes.c_int64),
+        n,
+        nblocks,
+        _ptr(out, ctypes.c_uint32),
+    )
+    return out
+
+
+def native_rndm_stream(seed: int, count: int, maxlen: int) -> bytes | None:
+    lib = _load()
+    if lib is None:
+        return None
+    cap = count * (maxlen + 1)
+    out = np.empty(cap, np.uint8)
+    written = lib.vkmr_rndm_stream(seed & 0xFFFFFFFF, count, maxlen, _ptr(out, ctypes.c_uint8), cap)
+    if written < 0:
+        raise ValueError(f"vkmr_rndm_stream failed: rc={written}")
+    return out[:written].tobytes()

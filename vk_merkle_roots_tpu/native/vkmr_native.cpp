@@ -1,0 +1,269 @@
+// vkmr_native.cpp — native host-side hot paths for vk_merkle_roots_tpu.
+//
+// The reference implementation is entirely native C++ (SURVEY.md §2: every
+// component of /root/reference/src is C++17 or GLSL).  This translation unit
+// provides the framework's native equivalents for the *host* side of that
+// inventory — the TPU compute path stays JAX/Pallas:
+//
+//   * scalar FIPS-180-4 SHA-256 / SHA-256d       (role of SHA-256plus.cpp)
+//   * bulk leaf hashing over (offset,length) spans
+//   * serial Merkle tree reduction with the odd-self-pair rule
+//     (role of CpuSha256D::Root, SHA-256plus.cpp:491-556)
+//   * FIPS padding + big-endian word packing of a bucket of equal-block
+//     leaves (role of Batch packing, Batches.cpp:64-121, and the in-shader
+//     padding, SHA-256.comp:207-285 — done host-side here by design)
+//   * a glibc-compatible rand() stream generator (role of rndm, Rndm.cpp)
+//
+// Everything is exposed as a C ABI consumed via ctypes (no pybind11 in this
+// toolchain).  Implementation is written from scratch against FIPS-180-4;
+// it shares no code with the reference.
+//
+// Build: make -C vk_merkle_roots_tpu/native
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+constexpr uint32_t kInit[8] = {
+    0x6a09e667u, 0xbb67ae85u, 0x3c6ef372u, 0xa54ff53au,
+    0x510e527fu, 0x9b05688cu, 0x1f83d9abu, 0x5be0cd19u,
+};
+
+constexpr uint32_t kRound[64] = {
+    0x428a2f98u, 0x71374491u, 0xb5c0fbcfu, 0xe9b5dba5u, 0x3956c25bu,
+    0x59f111f1u, 0x923f82a4u, 0xab1c5ed5u, 0xd807aa98u, 0x12835b01u,
+    0x243185beu, 0x550c7dc3u, 0x72be5d74u, 0x80deb1feu, 0x9bdc06a7u,
+    0xc19bf174u, 0xe49b69c1u, 0xefbe4786u, 0x0fc19dc6u, 0x240ca1ccu,
+    0x2de92c6fu, 0x4a7484aau, 0x5cb0a9dcu, 0x76f988dau, 0x983e5152u,
+    0xa831c66du, 0xb00327c8u, 0xbf597fc7u, 0xc6e00bf3u, 0xd5a79147u,
+    0x06ca6351u, 0x14292967u, 0x27b70a85u, 0x2e1b2138u, 0x4d2c6dfcu,
+    0x53380d13u, 0x650a7354u, 0x766a0abbu, 0x81c2c92eu, 0x92722c85u,
+    0xa2bfe8a1u, 0xa81a664bu, 0xc24b8b70u, 0xc76c51a3u, 0xd192e819u,
+    0xd6990624u, 0xf40e3585u, 0x106aa070u, 0x19a4c116u, 0x1e376c08u,
+    0x2748774cu, 0x34b0bcb5u, 0x391c0cb3u, 0x4ed8aa4au, 0x5b9cca4fu,
+    0x682e6ff3u, 0x748f82eeu, 0x78a5636fu, 0x84c87814u, 0x8cc70208u,
+    0x90befffau, 0xa4506cebu, 0xbef9a3f7u, 0xc67178f2u,
+};
+
+inline uint32_t rotr(uint32_t x, unsigned n) { return (x >> n) | (x << (32u - n)); }
+
+// One compression round over a prepared 16-word (big-endian-decoded) block.
+void compress_block(uint32_t state[8], const uint32_t block[16]) {
+  uint32_t w[16];
+  std::memcpy(w, block, sizeof(w));
+  uint32_t a = state[0], b = state[1], c = state[2], d = state[3];
+  uint32_t e = state[4], f = state[5], g = state[6], h = state[7];
+  for (unsigned t = 0; t < 64; ++t) {
+    uint32_t wt;
+    if (t < 16) {
+      wt = w[t];
+    } else {
+      const uint32_t w15 = w[(t - 15u) & 15u], w2 = w[(t - 2u) & 15u];
+      const uint32_t s0 = rotr(w15, 7) ^ rotr(w15, 18) ^ (w15 >> 3);
+      const uint32_t s1 = rotr(w2, 17) ^ rotr(w2, 19) ^ (w2 >> 10);
+      wt = w[t & 15u] + s0 + w[(t - 7u) & 15u] + s1;
+      w[t & 15u] = wt;
+    }
+    const uint32_t S1 = rotr(e, 6) ^ rotr(e, 11) ^ rotr(e, 25);
+    const uint32_t ch = g ^ (e & (f ^ g));
+    const uint32_t t1 = h + S1 + ch + kRound[t] + wt;
+    const uint32_t S0 = rotr(a, 2) ^ rotr(a, 13) ^ rotr(a, 22);
+    const uint32_t mj = (a & b) | (c & (a | b));
+    const uint32_t t2 = S0 + mj;
+    h = g; g = f; f = e; e = d + t1;
+    d = c; c = b; b = a; a = t1 + t2;
+  }
+  state[0] += a; state[1] += b; state[2] += c; state[3] += d;
+  state[4] += e; state[5] += f; state[6] += g; state[7] += h;
+}
+
+inline uint32_t load_be32(const uint8_t* p) {
+  return (uint32_t(p[0]) << 24) | (uint32_t(p[1]) << 16) | (uint32_t(p[2]) << 8) |
+         uint32_t(p[3]);
+}
+
+inline void store_be32(uint8_t* p, uint32_t v) {
+  p[0] = uint8_t(v >> 24); p[1] = uint8_t(v >> 16);
+  p[2] = uint8_t(v >> 8);  p[3] = uint8_t(v);
+}
+
+// SHA-256 of an arbitrary byte span into 8 state words.
+void sha256_span(const uint8_t* data, uint64_t len, uint32_t out[8]) {
+  uint32_t state[8];
+  std::memcpy(state, kInit, sizeof(state));
+  uint32_t block[16];
+  uint64_t remaining = len;
+  const uint8_t* p = data;
+  while (remaining >= 64) {
+    for (int i = 0; i < 16; ++i) block[i] = load_be32(p + 4 * i);
+    compress_block(state, block);
+    p += 64;
+    remaining -= 64;
+  }
+  uint8_t tail[128] = {0};
+  std::memcpy(tail, p, size_t(remaining));
+  tail[remaining] = 0x80;
+  const size_t tail_len = (remaining + 9 <= 64) ? 64 : 128;
+  const uint64_t bits = len * 8;
+  for (int i = 0; i < 8; ++i) tail[tail_len - 8 + i] = uint8_t(bits >> (56 - 8 * i));
+  for (size_t off = 0; off < tail_len; off += 64) {
+    for (int i = 0; i < 16; ++i) block[i] = load_be32(tail + off + 4 * i);
+    compress_block(state, block);
+  }
+  std::memcpy(out, state, 32);
+}
+
+// Second pass of SHA-256d: SHA-256 of a 32-byte digest held as 8 words.
+void sha256_of_digest(const uint32_t in[8], uint32_t out[8]) {
+  uint32_t block[16] = {0};
+  std::memcpy(block, in, 32);
+  block[8] = 0x80000000u;
+  block[15] = 256u;
+  uint32_t state[8];
+  std::memcpy(state, kInit, sizeof(state));
+  compress_block(state, block);
+  std::memcpy(out, state, 32);
+}
+
+// SHA-256d of the concatenation of two 32-byte digests (the node rule).
+void node_hash(const uint32_t l[8], const uint32_t r[8], uint32_t out[8]) {
+  uint32_t block[16];
+  std::memcpy(block, l, 32);
+  std::memcpy(block + 8, r, 32);
+  uint32_t state[8];
+  std::memcpy(state, kInit, sizeof(state));
+  compress_block(state, block);
+  uint32_t pad[16] = {0};
+  pad[0] = 0x80000000u;
+  pad[15] = 512u;
+  compress_block(state, pad);
+  sha256_of_digest(state, out);
+}
+
+void digest_words_to_bytes(const uint32_t w[8], uint8_t* out) {
+  for (int i = 0; i < 8; ++i) store_be32(out + 4 * i, w[i]);
+}
+
+void digest_bytes_to_words(const uint8_t* in, uint32_t w[8]) {
+  for (int i = 0; i < 8; ++i) w[i] = load_be32(in + 4 * i);
+}
+
+}  // namespace
+
+extern "C" {
+
+// SHA-256d of every (offset,length) span; out = n * 32 bytes of digests.
+void vkmr_leaf_hashes(const uint8_t* data, const int64_t* offsets,
+                      const int64_t* lengths, int64_t n, uint8_t* out) {
+  uint32_t d1[8], d2[8];
+  for (int64_t i = 0; i < n; ++i) {
+    sha256_span(data + offsets[i], uint64_t(lengths[i]), d1);
+    sha256_of_digest(d1, d2);
+    digest_words_to_bytes(d2, out + 32 * i);
+  }
+}
+
+// Merkle root (odd-self-pair rule at every level) of n 32-byte digests.
+// height < 0: reduce until a single node remains (Count() levels).
+// height >= 0: run exactly `height` levels (phantom full-height rule for
+// ragged slices, README.md:94).  Returns 0 on success.
+int vkmr_merkle_root(const uint8_t* digests, int64_t n, int32_t height,
+                     uint8_t* out) {
+  if (n < 1) return -1;
+  std::vector<uint32_t> level(size_t(n) * 8);
+  for (int64_t i = 0; i < n; ++i) digest_bytes_to_words(digests + 32 * i, &level[size_t(i) * 8]);
+  int32_t levels_run = 0;
+  auto one_level = [&]() {
+    const int64_t count = int64_t(level.size() / 8);
+    const int64_t pairs = (count + 1) / 2;
+    std::vector<uint32_t> next(size_t(pairs) * 8);
+    for (int64_t i = 0; i < pairs; ++i) {
+      const uint32_t* l = &level[size_t(2 * i) * 8];
+      const uint32_t* r = (2 * i + 1 < count) ? &level[size_t(2 * i + 1) * 8] : l;
+      node_hash(l, r, &next[size_t(i) * 8]);
+    }
+    level.swap(next);
+    ++levels_run;
+  };
+  if (height < 0) {
+    while (level.size() > 8) one_level();
+  } else {
+    if (n > (int64_t(1) << height)) return -2;
+    while (levels_run < height) one_level();
+    if (level.size() != 8) return -3;
+  }
+  digest_words_to_bytes(level.data(), out);
+  return 0;
+}
+
+// Pack a bucket of n leaves (all padding to `nblocks` 64-byte blocks) into
+// big-endian u32 words: out is n * nblocks * 16 uint32, caller-zeroed or
+// not (fully overwritten here).  Layout matches packing.pack_spans.
+void vkmr_pack_bucket(const uint8_t* data, const int64_t* offsets,
+                      const int64_t* lengths, int64_t n, int32_t nblocks,
+                      uint32_t* out) {
+  const int64_t words_per = int64_t(nblocks) * 16;
+  const int64_t pitch_bytes = int64_t(nblocks) * 64;
+  std::vector<uint8_t> row(static_cast<size_t>(pitch_bytes), 0);
+  for (int64_t i = 0; i < n; ++i) {
+    const int64_t len = lengths[i];
+    std::memset(row.data(), 0, size_t(pitch_bytes));
+    std::memcpy(row.data(), data + offsets[i], size_t(len));
+    row[size_t(len)] = 0x80;
+    const uint64_t bits = uint64_t(len) * 8;
+    for (int i2 = 0; i2 < 8; ++i2)
+      row[size_t(pitch_bytes - 8 + i2)] = uint8_t(bits >> (56 - 8 * i2));
+    uint32_t* orow = out + i * words_per;
+    for (int64_t wIdx = 0; wIdx < words_per; ++wIdx)
+      orow[wIdx] = load_be32(row.data() + 4 * wIdx);
+  }
+}
+
+// glibc-compatible TYPE_3 additive-feedback rand(), reimplemented from the
+// published algorithm (same stream as the reference's rndm built against
+// glibc).  Fills `out` with `count` newline-terminated printable strings;
+// returns the number of bytes written, or -1 if `cap` would overflow.
+int64_t vkmr_rndm_stream(uint32_t seed, int64_t count, int32_t maxlen,
+                         uint8_t* out, int64_t cap) {
+  if (maxlen < 2) return -2;
+  int32_t r[344];
+  if (seed == 0) seed = 1;
+  r[0] = int32_t(seed);
+  for (int i = 1; i < 31; ++i) {
+    // 16807 * r[i-1] % 2147483647 via Schrage, C truncating division.
+    const int64_t hi = r[i - 1] / 127773;
+    const int64_t lo = r[i - 1] % 127773;
+    int64_t word = 16807 * lo - 2836 * hi;
+    if (word < 0) word += 2147483647;
+    r[i] = int32_t(word);
+  }
+  for (int i = 31; i < 34; ++i) r[i] = r[i - 31];
+  uint32_t ring[31];
+  for (int i = 0; i < 31; ++i) ring[i] = uint32_t(r[i + 3]);
+  // Discard the first 310 outputs (i = 34 .. 343).
+  int pos = 0;
+  auto next_rand = [&]() -> uint32_t {
+    const uint32_t v = ring[pos] + ring[(pos + 28) % 31];
+    ring[pos] = v;
+    pos = (pos + 1) % 31;
+    return v >> 1;
+  };
+  for (int i = 34; i < 344; ++i) (void)next_rand();
+
+  int64_t written = 0;
+  for (int64_t s = 0; s < count; ++s) {
+    const int32_t len = 1 + int32_t(next_rand() % uint32_t(maxlen - 1));
+    if (written + len + 1 > cap) return -1;
+    for (int32_t k = 0; k < len; ++k)
+      out[written++] = uint8_t(32 + next_rand() % 94u);
+    out[written++] = '\n';
+  }
+  return written;
+}
+
+// ABI/version probe for the ctypes loader.
+int32_t vkmr_native_abi(void) { return 1; }
+
+}  // extern "C"

@@ -76,6 +76,11 @@ def pack_spans(
     if int(lengths.max(initial=0)) > MAX_LEAF_BYTES:
         raise ValueError(f"leaf exceeds MAX_LEAF_BYTES={MAX_LEAF_BYTES}")
 
+    try:
+        from .native.lib import native_pack_bucket
+    except Exception:
+        native_pack_bucket = None
+
     nblocks = (lengths + 9 + BLOCK_BYTES - 1) // BLOCK_BYTES
     buckets: list[Bucket] = []
     order_parts: list[np.ndarray] = []
@@ -84,21 +89,25 @@ def pack_spans(
         lens = lengths[idx]
         offs = offsets[idx]
         pitch = int(b) * BLOCK_BYTES
-        buf = np.zeros((idx.size, pitch), dtype=np.uint8)
-        total = int(lens.sum())
-        if total:
-            # Ragged gather/scatter: copy each leaf's bytes into its row.
-            row = np.repeat(np.arange(idx.size, dtype=np.int64), lens)
-            cum = np.concatenate(([0], np.cumsum(lens)[:-1]))
-            within = np.arange(total, dtype=np.int64) - np.repeat(cum, lens)
-            src = np.repeat(offs, lens) + within
-            buf.reshape(-1)[row * pitch + within] = data[src]
-        # FIPS-180 padding: 0x80 directly after the payload, bit length in the
-        # final 8 bytes (big-endian; top word is zero for len < 2^29).
-        buf.reshape(-1)[np.arange(idx.size, dtype=np.int64) * pitch + lens] = 0x80
-        be = buf.view(">u4").reshape(idx.size, pitch // 4)
-        be[:, -1] = (lens << 3).astype(np.uint32)
-        words = np.ascontiguousarray(be).astype(np.uint32)
+        words = None
+        if native_pack_bucket is not None:
+            words = native_pack_bucket(data, offs, lens, int(b))
+        if words is None:
+            buf = np.zeros((idx.size, pitch), dtype=np.uint8)
+            total = int(lens.sum())
+            if total:
+                # Ragged gather/scatter: copy each leaf's bytes into its row.
+                row = np.repeat(np.arange(idx.size, dtype=np.int64), lens)
+                cum = np.concatenate(([0], np.cumsum(lens)[:-1]))
+                within = np.arange(total, dtype=np.int64) - np.repeat(cum, lens)
+                src = np.repeat(offs, lens) + within
+                buf.reshape(-1)[row * pitch + within] = data[src]
+            # FIPS-180 padding: 0x80 directly after the payload, bit length in
+            # the final 8 bytes (big-endian; top word zero for len < 2^29).
+            buf.reshape(-1)[np.arange(idx.size, dtype=np.int64) * pitch + lens] = 0x80
+            be = buf.view(">u4").reshape(idx.size, pitch // 4)
+            be[:, -1] = (lens << 3).astype(np.uint32)
+            words = np.ascontiguousarray(be).astype(np.uint32)
         buckets.append(Bucket(int(b), words, int(idx.size)))
         order_parts.append(idx)
 

@@ -71,6 +71,15 @@ class GlibcRand:
 
 def generate_glibc(seed: int, count: int, maxlen: int, out) -> int:
     """Write the reference-compatible stream; returns total payload bytes."""
+    try:
+        from ..native.lib import native_rndm_stream
+
+        stream = native_rndm_stream(seed, count, maxlen)
+        if stream is not None:
+            out.write(stream)
+            return len(stream) - count  # payload excludes the newlines
+    except Exception:
+        pass
     rng = GlibcRand(seed)
     total = 0
     chunk = bytearray()
