@@ -38,6 +38,10 @@ def _tpu_device_names() -> list[str]:
 def _make_engine(name: str, config: EngineConfig):
     if name == "CPU":
         return CpuSha256D()
+    if name == "MESH":
+        from .models.mesh import MeshSha256D
+
+        return MeshSha256D(config=config)
     from .models.tpu import TpuSha256D
 
     return TpuSha256D(name=name, config=config)
@@ -82,11 +86,16 @@ def main(argv=None) -> int:
     parser = argparse.ArgumentParser(prog="vkmr", add_help=True, description=__doc__)
     parser.add_argument("device", nargs="?", help="engine/device name (e.g. CPU, or a TPU kind)")
     parser.add_argument("--stats", action="store_true", help="print per-stage timings to stderr")
+    parser.add_argument("--verbose", action="store_true", help="structured pipeline event logs")
     parser.add_argument("--slice-log2", type=int, default=None)
     parser.add_argument("--batch-leaves", type=int, default=None)
     parser.add_argument("--backend", choices=["auto", "pallas", "xla"], default="auto")
     args = parser.parse_args(argv)
 
+    if args.verbose:
+        from .utils.log import enable_verbose
+
+        enable_verbose()
     config = EngineConfig()
     if args.slice_log2 is not None:
         config.slice_log2 = args.slice_log2
@@ -96,8 +105,16 @@ def main(argv=None) -> int:
 
     tpu_names = _tpu_device_names()
     # "CPU" is the serial oracle engine; "XLA" runs the full device pipeline
-    # on the default JAX device (useful on hosts without an accelerator).
+    # on the default JAX device (useful on hosts without an accelerator);
+    # "MESH" streams across every local device.
     available = ["CPU"] + tpu_names + ["XLA"]
+    try:
+        import jax
+
+        if len(jax.devices()) > 1:
+            available.append("MESH")
+    except Exception:
+        pass
     aliases = {"TPU": tpu_names[0]} if tpu_names else {}
 
     name = args.device

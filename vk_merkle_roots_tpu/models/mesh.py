@@ -1,0 +1,75 @@
+"""Multi-device streaming engine: ``TpuSha256D`` with work spread over
+every local JAX device.
+
+The reference enumerates all GPUs but drives exactly one
+(``/root/reference/src/vkmr/SHA-256vk.cpp:224-229``); its multi-queue
+round-robin (Devices.cpp:525-538) is the closest it gets to hardware
+overlap.  Here the same streaming engine fans out at two points, keyed by
+the round-robin batch/slice counters:
+
+* each flushed **batch** is hashed on the next device in turn — JAX's async
+  dispatch runs batches on different chips concurrently, so host packing
+  overlaps device hashing across the whole pod slice;
+* each filled **slice** is reduced on the next device in turn.
+
+Digest chunks are copied back to device 0's slice buffer (32 B/leaf — a
+quarter of the canonical 127 B payload, riding ICI on real hardware).  The
+fixed-shape all-gather path (``parallel.mesh.make_sharded_root_fn``) remains
+the zero-copy alternative for aligned batch workloads; this engine is the
+*streaming* multi-device story with no shape constraints.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..config import EngineConfig
+from .tpu import TpuSha256D
+
+
+class MeshSha256D(TpuSha256D):
+    def __init__(
+        self,
+        name: str | None = None,
+        config: EngineConfig | None = None,
+        devices=None,
+    ) -> None:
+        import jax
+
+        self._devices = list(devices) if devices is not None else jax.devices()
+        super().__init__(
+            name or f"{self._devices[0].device_kind} x{len(self._devices)}", config
+        )
+        self._batch_rr = 0
+        self._slice_rr = 0
+
+    def _hash_packed(self, packed):
+        import jax
+
+        from ..ops.leaf_hash import leaf_hashes
+
+        dev = self._devices[self._batch_rr % len(self._devices)]
+        self._batch_rr += 1
+        digs = leaf_hashes(packed, self.config.backend, device=dev)
+        return jax.device_put(digs, self._devices[0])
+
+    def _reduce_full_slice(self, digests):
+        import jax
+
+        from ..ops.tree_reduce import reduce_perfect_block
+
+        dev = self._devices[self._slice_rr % len(self._devices)]
+        self._slice_rr += 1
+        return reduce_perfect_block(
+            jax.device_put(digests, dev), self.config.slice_log2, self.config.backend
+        )
+
+    def Reset(self) -> bool:
+        self._batch_rr = 0
+        self._slice_rr = 0
+        return super().Reset()
+
+    def Stats(self) -> dict:
+        stats = super().Stats()
+        stats["devices"] = len(self._devices)
+        return stats

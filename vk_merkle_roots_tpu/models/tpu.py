@@ -41,6 +41,7 @@ from ..config import EngineConfig
 from ..constants import MAX_LEAF_BYTES
 from ..packing import pack_spans
 from ..utils.hexutil import words_to_digest
+from ..utils.log import event
 from ..utils.timing import StageTimes, StopWatch
 from .base import Sha256dEngine
 
@@ -153,7 +154,15 @@ class TpuSha256D(Sha256dEngine):
                 self._flush_some()
             return True
         except MemoryError:
+            # Fail-soft: stop ingest cleanly, like Add -> false halting the
+            # reference's input loop (Vkmr.cpp:44-47).
+            event("ingest_failed", reason="host_oom")
             return False
+        except Exception as exc:  # device OOM surfaces as RuntimeError
+            if "RESOURCE_EXHAUSTED" in str(exc) or "Out of memory" in str(exc):
+                event("ingest_failed", reason="device_oom")
+                return False
+            raise
 
     # -- device pipeline ---------------------------------------------------
 
@@ -161,13 +170,23 @@ class TpuSha256D(Sha256dEngine):
         if self._buf is None:
             self._buf = self._jnp.zeros((self._cap + (1 << _SLACK_LOG2), 8), self._jnp.uint32)
 
+    def _hash_packed(self, packed):
+        """Leaf-hash one packed batch (hook for multi-device engines)."""
+        from ..ops.leaf_hash import leaf_hashes
+
+        return leaf_hashes(packed, self.config.backend)
+
+    def _reduce_full_slice(self, digests):
+        """Reduce one full slice to its root (hook for multi-device
+        engines); returns an async device (8,) array."""
+        from ..ops.tree_reduce import reduce_perfect_block
+
+        return reduce_perfect_block(digests, self.config.slice_log2, self.config.backend)
+
     def _flush_some(self) -> None:
         """Move up to one slice-limited batch of pending leaves to the
         device: pack -> hash -> append to the current slice; reduce the
         slice when it fills."""
-        from ..ops.leaf_hash import leaf_hashes
-        from ..ops.tree_reduce import reduce_perfect_block
-
         if self._pending.count == 0:
             return
         self._ensure_buf()
@@ -181,17 +200,16 @@ class TpuSha256D(Sha256dEngine):
             t_pack = sw.Elapsed()
             self.times.add("pack", t_pack, int(lens.sum()))
             sw.Start()
-            digs = leaf_hashes(packed, self.config.backend)
+            digs = self._hash_packed(packed)
             self._buf = append(self._buf, digs, np.int32(self._fill))
             self._fill += packed.count
             self.times.add("map_dispatch", sw.Elapsed(), int(lens.sum()))
             sw.Start()
         if self._fill == self._cap:
             sw.Start()
-            root = reduce_perfect_block(
-                self._buf[: self._cap], self.config.slice_log2, self.config.backend
-            )
+            root = self._reduce_full_slice(self._buf[: self._cap])
             self._roots.append(root)
+            event("slice_reduced", slice=len(self._roots), leaves=self._cap)
             self._fill = 0
             self.times.add("reduce_dispatch", sw.Elapsed(), self._cap * 32)
             # Backpressure: bound in-flight roots (block-and-reuse, the
@@ -200,6 +218,7 @@ class TpuSha256D(Sha256dEngine):
             if len(live) > self.config.max_slices_in_flight:
                 oldest = next(i for i, r in enumerate(self._roots) if not isinstance(r, bytes))
                 self._roots[oldest] = words_to_digest(np.asarray(self._roots[oldest]))
+                event("backpressure_block", slice=oldest + 1)
 
     # -- finalization ------------------------------------------------------
 

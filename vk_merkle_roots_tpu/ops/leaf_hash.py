@@ -99,7 +99,7 @@ def _quantized_rows(n: int) -> int:
     return 64
 
 
-def leaf_hashes(packed: PackedLeaves, backend: str = "auto") -> jax.Array:
+def leaf_hashes(packed: PackedLeaves, backend: str = "auto", device=None) -> jax.Array:
     """Hash all packed leaves; returns (quantized_rows, 8) uint32 digest
     words whose first ``packed.count`` rows are the digests in original
     input order (trailing rows are padding garbage — row counts are
@@ -113,6 +113,10 @@ def leaf_hashes(packed: PackedLeaves, backend: str = "auto") -> jax.Array:
         return jnp.zeros((0, 8), jnp.uint32)
     interpret = _use_interpret()
     use_pallas = backend == "pallas" or (backend == "auto" and not interpret)
+
+    def _put(arr):
+        return jax.device_put(arr, device) if device is not None else jnp.asarray(arr)
+
     parts = []
     bases = []  # padded-concat row of each bucket's first real row
     base = 0
@@ -122,7 +126,7 @@ def leaf_hashes(packed: PackedLeaves, backend: str = "auto") -> jax.Array:
         if rows != b.count:
             words = np.zeros((rows, words.shape[1]), dtype=np.uint32)
             words[: b.count] = b.words
-        parts.append(_bucket_hashes(jnp.asarray(words), b.nblocks, use_pallas, interpret))
+        parts.append(_bucket_hashes(_put(words), b.nblocks, use_pallas, interpret))
         bases.append(base)
         base += rows
     if len(parts) == 1:
@@ -140,4 +144,4 @@ def leaf_hashes(packed: PackedLeaves, backend: str = "auto") -> jax.Array:
     out_rows = _quantized_rows(packed.count)
     if out_rows != idx.size:
         idx = np.concatenate([idx, np.zeros(out_rows - idx.size, dtype=np.int64)])
-    return jnp.take(cat, jnp.asarray(idx), axis=0)
+    return jnp.take(cat, _put(idx), axis=0)

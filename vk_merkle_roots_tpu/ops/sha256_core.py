@@ -80,6 +80,9 @@ def compress(state, w16, unroll: bool = True):
         return _compress_rolled(state, w16)
     a, b, c, d, e, f, g, h = state
     w = list(w16)
+    # Cached-XOR Maj: maj(a,b,c) = b ^ ((a^b) & (b^c)), and this round's
+    # (b^c) is last round's (a^b) — one live register saves an op per round.
+    ab_prev = b ^ c
     for t in range(64):
         if t < 16:
             wt = w[t]
@@ -92,7 +95,9 @@ def compress(state, w16, unroll: bool = True):
             )
             w[t % 16] = wt
         t1 = h + big_sigma1(e) + ch(e, f, g) + wt + np.uint32(SHA256_K[t])
-        t2 = big_sigma0(a) + maj(a, b, c)
+        ab = a ^ b
+        t2 = big_sigma0(a) + (b ^ (ab & ab_prev))
+        ab_prev = ab
         h, g, f, e = g, f, e, d + t1
         d, c, b, a = c, b, a, t1 + t2
     s = state
@@ -145,9 +150,12 @@ def compress_const_schedule(state, schedule_plus_k=PAD_BLOCK_64_SCHEDULE_PLUS_K,
         out = jax.lax.fori_loop(0, 64, round_body, tuple(state))
         return tuple(s + o for s, o in zip(state, out))
     a, b, c, d, e, f, g, h = state
+    ab_prev = b ^ c
     for t in range(64):
         t1 = h + big_sigma1(e) + ch(e, f, g) + np.uint32(schedule_plus_k[t])
-        t2 = big_sigma0(a) + maj(a, b, c)
+        ab = a ^ b
+        t2 = big_sigma0(a) + (b ^ (ab & ab_prev))
+        ab_prev = ab
         h, g, f, e = g, f, e, d + t1
         d, c, b, a = c, b, a, t1 + t2
     s = state
