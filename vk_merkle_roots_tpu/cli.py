@@ -47,7 +47,14 @@ def _make_engine(name: str, config: EngineConfig):
     return TpuSha256D(name=name, config=config)
 
 
-def run(engine, in_stream, out=sys.stdout, err=sys.stderr, stats: bool = False) -> int:
+def run(
+    engine,
+    in_stream,
+    out=sys.stdout,
+    err=sys.stderr,
+    stats: bool = False,
+    proof_index: int | None = None,
+) -> int:
     """The main loop (Vkmr.cpp:28-58): ingest every line, then print the
     root + summary.  Returns process exit code."""
     from .ingest import iter_line_spans
@@ -75,6 +82,26 @@ def run(engine, in_stream, out=sys.stdout, err=sys.stderr, stats: bool = False) 
             f" => {root} in {elapsed:g}",
             file=out,
         )
+        if proof_index is not None:
+            import json
+
+            try:
+                path = engine.Proof(proof_index)
+            except (IndexError, RuntimeError, NotImplementedError) as exc:
+                print(f"proof error: {exc}", file=err)
+                return 1
+            print(
+                json.dumps(
+                    {
+                        "leaf_index": proof_index,
+                        "root": root,
+                        "path": [
+                            {"sibling": sib.hex(), "side": side} for sib, side in path
+                        ],
+                    }
+                ),
+                file=out,
+            )
     if stats:
         import json
 
@@ -90,6 +117,13 @@ def main(argv=None) -> int:
     parser.add_argument("--slice-log2", type=int, default=None)
     parser.add_argument("--batch-leaves", type=int, default=None)
     parser.add_argument("--backend", choices=["auto", "pallas", "xla"], default="auto")
+    parser.add_argument(
+        "--proof",
+        type=int,
+        default=None,
+        metavar="INDEX",
+        help="also emit the authentication path for leaf INDEX as JSON",
+    )
     args = parser.parse_args(argv)
 
     if args.verbose:
@@ -102,6 +136,8 @@ def main(argv=None) -> int:
     if args.batch_leaves is not None:
         config.batch_leaves = args.batch_leaves
     config.backend = args.backend
+    if args.proof is not None:
+        config.keep_digests = True
 
     tpu_names = _tpu_device_names()
     # "CPU" is the serial oracle engine; "XLA" runs the full device pipeline
@@ -142,7 +178,7 @@ def main(argv=None) -> int:
     if name != "CPU":
         enable_persistent_cache()
     engine = _make_engine(name, config)
-    return run(engine, sys.stdin.buffer, stats=args.stats)
+    return run(engine, sys.stdin.buffer, stats=args.stats, proof_index=args.proof)
 
 
 if __name__ == "__main__":

@@ -34,6 +34,11 @@ class EngineConfig:
     batch_bytes: int = 64 << 20
     backend: str = "auto"
     max_slices_in_flight: int = 8
+    # Retain materialized slice digests so authentication paths (Merkle
+    # proofs) can be generated after Root() — the reference lists proofs as
+    # unimplemented future work (README.md:118-120).  Costs 32 B/leaf host
+    # memory; off by default.
+    keep_digests: bool = False
 
 
 def enable_persistent_cache(path: str | None = None) -> None:

@@ -61,3 +61,9 @@ class Sha256dEngine(abc.ABC):
     # we expose them structurally).
     def Stats(self) -> dict:
         return {}
+
+    def Proof(self, index: int) -> list[tuple[bytes, str]]:
+        """Authentication path for leaf ``index`` (bottom-up
+        (sibling_digest, sibling_side) pairs).  Engines that support proofs
+        override; call after ``Root()``."""
+        raise NotImplementedError(f"{self.Name()} does not support proofs")

@@ -71,6 +71,9 @@ class CpuSha256D(Sha256dEngine):
             pass
         return oracle.merkle_root_of_digests(self._digests).hex()
 
+    def Proof(self, index: int) -> list[tuple[bytes, str]]:
+        return oracle.merkle_proof_of_digests(self._digests, index)
+
     def Reset(self) -> bool:
         self._digests.clear()
         return True

@@ -117,6 +117,7 @@ class TpuSha256D(Sha256dEngine):
         self._pending = _PendingLeaves()
         self._count = 0
         self._bytes = 0
+        self._slice_digests: list[np.ndarray] = []  # kept when keep_digests
         self.times = StageTimes()
 
     # -- ingest ------------------------------------------------------------
@@ -207,6 +208,8 @@ class TpuSha256D(Sha256dEngine):
             sw.Start()
         if self._fill == self._cap:
             sw.Start()
+            if self.config.keep_digests:
+                self._slice_digests.append(np.asarray(self._buf[: self._cap]))
             root = self._reduce_full_slice(self._buf[: self._cap])
             self._roots.append(root)
             event("slice_reduced", slice=len(self._roots), leaves=self._cap)
@@ -228,6 +231,8 @@ class TpuSha256D(Sha256dEngine):
         while self._pending.count > 0:
             self._flush_some()
         sw = StopWatch()
+        if self._fill > 0 and self.config.keep_digests:
+            self._slice_digests.append(np.asarray(self._buf[: self._fill]))
         if self._fill > 0:
             if not self._roots:
                 # Single (possibly ragged) slice: plain Merkle root.
@@ -254,6 +259,31 @@ class TpuSha256D(Sha256dEngine):
         self.times.add("finalize", sw.Elapsed())
         return out.hex()
 
+    def Proof(self, index: int) -> list[tuple[bytes, str]]:
+        """Authentication path for leaf ``index`` against the stream root.
+        Requires ``config.keep_digests``; call after ``Root()``.  Crosses
+        slices: the within-slice path (phantom full height for non-final
+        levels of a ragged trailing slice) is concatenated with the path
+        through the slice-roots tree."""
+        if not self.config.keep_digests:
+            raise RuntimeError("Proof() requires EngineConfig.keep_digests=True")
+        if not self._slice_digests:
+            raise RuntimeError("Proof() must be called after Root()")
+        if not 0 <= index < self._count:
+            raise IndexError(f"leaf index {index} out of range [0, {self._count})")
+        from ..utils.hexutil import words_to_digest as w2d
+
+        s, local = divmod(index, self._cap)
+        digs = self._slice_digests[s]
+        rows = [w2d(digs[i]) for i in range(digs.shape[0])]
+        if len(self._slice_digests) == 1:
+            return oracle.merkle_proof_of_digests(rows, local)
+        path = oracle.merkle_proof_of_digests(rows, local, height=self.config.slice_log2)
+        roots = [
+            r if isinstance(r, bytes) else w2d(np.asarray(r)) for r in self._roots
+        ]
+        return path + oracle.merkle_proof_of_digests(roots, s)
+
     def Reset(self) -> bool:
         self._buf = None
         self._fill = 0
@@ -261,6 +291,7 @@ class TpuSha256D(Sha256dEngine):
         self._pending = _PendingLeaves()
         self._count = 0
         self._bytes = 0
+        self._slice_digests = []
         self.times = StageTimes()
         return True
 

@@ -86,6 +86,49 @@ def reduce_slice(digests: Sequence[bytes], height: int) -> bytes:
     return level[0]
 
 
+def merkle_proof_of_digests(
+    digests: Sequence[bytes], index: int, height: int | None = None
+) -> list[tuple[bytes, str]]:
+    """Authentication path for leaf ``index``: bottom-up list of
+    (sibling_digest, side) where side is "L"/"R" = which side the *sibling*
+    sits on.  Odd nodes self-pair (the sibling is the node itself), and with
+    an explicit ``height`` the phantom full-height levels are included —
+    so a path through a ragged slice verifies against the slice's
+    phantom-height root.
+
+    The reference lists proof generation as unimplemented future work
+    (/root/reference/README.md:118-120); this provides it.
+    """
+    if not 0 <= index < len(digests):
+        raise IndexError(f"leaf index {index} out of range [0, {len(digests)})")
+    level = list(digests)
+    idx = index
+    path: list[tuple[bytes, str]] = []
+    levels = height if height is not None else (len(level) - 1).bit_length()
+    for _ in range(levels):
+        sib = idx ^ 1
+        sibling = level[sib] if sib < len(level) else level[idx]
+        path.append((sibling, "L" if idx & 1 else "R"))
+        level = _reduce_one_level(level)
+        idx //= 2
+    assert len(level) == 1
+    return path
+
+
+def verify_proof(leaf_digest: bytes, path: Sequence[tuple[bytes, str]]) -> bytes:
+    """Fold an authentication path from a leaf digest up to the root it
+    proves membership under."""
+    cur = leaf_digest
+    for sibling, side in path:
+        cur = node_hash(cur, sibling) if side == "R" else node_hash(sibling, cur)
+    return cur
+
+
+def merkle_proof(leaves: Sequence[bytes], index: int) -> list[tuple[bytes, str]]:
+    """Authentication path for raw leaf ``index`` of the whole-stream tree."""
+    return merkle_proof_of_digests([leaf_hash(x) for x in leaves], index)
+
+
 def merkle_root_sliced(leaves: Sequence[bytes], slice_log2: int) -> bytes:
     """Merkle root via the reference's slice decomposition: split leaves into
     consecutive 2^slice_log2-leaf slices, reduce each independently, then take
