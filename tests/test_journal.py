@@ -1,0 +1,80 @@
+"""Slice-root journal + resume (checkpoint story the reference lacks,
+SURVEY.md §5.4)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from vk_merkle_roots_tpu import oracle
+from vk_merkle_roots_tpu.config import EngineConfig
+from vk_merkle_roots_tpu.models.tpu import TpuSha256D
+from tests.conftest import random_leaves
+from tests.test_cli import _run_cli
+
+
+def _cfg(tmp_path, **kw):
+    return EngineConfig(
+        slice_log2=6,
+        batch_leaves=40,
+        backend="xla",
+        journal_path=str(tmp_path / "journal.jsonl"),
+        **kw,
+    )
+
+
+def test_journal_written_and_resume_matches(rng, tmp_path):
+    leaves = random_leaves(rng, 200, maxlen=40)
+    cfg = _cfg(tmp_path)
+    e = TpuSha256D(name="j", config=cfg)
+    e.AddMany(leaves)
+    want = e.Root()
+    assert want == oracle.merkle_root(leaves).hex()
+
+    lines = [json.loads(l) for l in open(cfg.journal_path)]
+    assert len(lines) == 3  # 200 leaves / 64-leaf slices -> 3 full slices
+    assert [l["slice"] for l in lines] == [0, 1, 2]
+
+    # Resume: preload the journaled roots, feed only the remaining leaves.
+    e2 = TpuSha256D(name="j2", config=EngineConfig(slice_log2=6, backend="xla"))
+    e2.PreloadSliceRoots([bytes.fromhex(l["root"]) for l in lines])
+    e2.AddMany(leaves[192:])
+    assert e2.Root() == want
+
+
+def test_resume_from_partial_journal(rng, tmp_path):
+    """A journal truncated mid-stream (crash) still resumes correctly."""
+    leaves = random_leaves(rng, 200, maxlen=40)
+    cfg = _cfg(tmp_path)
+    e = TpuSha256D(name="j", config=cfg)
+    e.AddMany(leaves)
+    want = e.Root()
+    lines = [json.loads(l) for l in open(cfg.journal_path)][:2]  # "crash"
+
+    e2 = TpuSha256D(name="j2", config=EngineConfig(slice_log2=6, backend="xla"))
+    e2.PreloadSliceRoots([bytes.fromhex(l["root"]) for l in lines])
+    e2.AddMany(leaves[128:])
+    assert e2.Root() == want
+
+
+def test_preload_requires_fresh_engine(rng):
+    e = TpuSha256D(name="j", config=EngineConfig(slice_log2=6, backend="xla"))
+    e.AddMany(random_leaves(rng, 3, maxlen=10))
+    with pytest.raises(RuntimeError):
+        e.PreloadSliceRoots([bytes(32)])
+
+
+def test_cli_journal_roundtrip(tmp_path):
+    stream = b"".join(bytes([65 + i % 26]) * (1 + i % 50) + b"\n" for i in range(200))
+    journal = str(tmp_path / "j.jsonl")
+    a = _run_cli(["XLA", "--slice-log2", "6", "--journal", journal], stream)
+    assert a.returncode == 0, a.stderr.decode()
+    root_a = a.stdout.decode().split("=> ")[1].split(" ")[0]
+    assert os.path.exists(journal)
+
+    b = _run_cli(["XLA", "--slice-log2", "6", "--journal", journal], stream)
+    assert b.returncode == 0, b.stderr.decode()
+    root_b = b.stdout.decode().split("=> ")[1].split(" ")[0]
+    assert "Resuming from journal: 3 slice(s)" in b.stderr.decode()
+    assert root_a == root_b

@@ -54,6 +54,7 @@ def run(
     err=sys.stderr,
     stats: bool = False,
     proof_index: int | None = None,
+    skip_leaves: int = 0,
 ) -> int:
     """The main loop (Vkmr.cpp:28-58): ingest every line, then print the
     root + summary.  Returns process exit code."""
@@ -61,6 +62,7 @@ def run(
 
     count = 0
     size = 0
+    skipped = 0
     sw = StopWatch()
     for data, offs, lens in iter_line_spans(in_stream):
         nonempty = lens > 0
@@ -68,6 +70,12 @@ def run(
             print("Read an empty string?", file=err)
         if not nonempty.all():
             offs, lens = offs[nonempty], lens[nonempty]
+        if skipped < skip_leaves and lens.size:
+            # Resuming from a journal: drop leaves already folded into
+            # journaled slice roots.
+            drop = min(skip_leaves - skipped, int(lens.size))
+            offs, lens = offs[drop:], lens[drop:]
+            skipped += drop
         if lens.size == 0:
             continue
         if not engine.AddSpans(data, offs, lens):
@@ -124,6 +132,13 @@ def main(argv=None) -> int:
         metavar="INDEX",
         help="also emit the authentication path for leaf INDEX as JSON",
     )
+    parser.add_argument(
+        "--journal",
+        metavar="PATH",
+        default=None,
+        help="append completed slice roots to PATH; on restart, resume from "
+        "the journal (skipping already-reduced leaves from stdin)",
+    )
     args = parser.parse_args(argv)
 
     if args.verbose:
@@ -138,6 +153,7 @@ def main(argv=None) -> int:
     config.backend = args.backend
     if args.proof is not None:
         config.keep_digests = True
+    config.journal_path = args.journal
 
     tpu_names = _tpu_device_names()
     # "CPU" is the serial oracle engine; "XLA" runs the full device pipeline
@@ -178,7 +194,36 @@ def main(argv=None) -> int:
     if name != "CPU":
         enable_persistent_cache()
     engine = _make_engine(name, config)
-    return run(engine, sys.stdin.buffer, stats=args.stats, proof_index=args.proof)
+
+    skip_leaves = 0
+    if args.journal:
+        import json
+        import os
+
+        if name == "CPU":
+            print("--journal requires a device engine", file=sys.stderr)
+            return 1
+        if os.path.exists(args.journal):
+            roots = []
+            with open(args.journal) as fh:
+                for line in fh:
+                    rec = json.loads(line)
+                    roots.append(bytes.fromhex(rec["root"]))
+            if roots:
+                engine.PreloadSliceRoots(roots)
+                skip_leaves = len(roots) * (1 << config.slice_log2)
+                print(
+                    f"Resuming from journal: {len(roots)} slice(s), "
+                    f"skipping {skip_leaves} leaf/leaves",
+                    file=sys.stderr,
+                )
+    return run(
+        engine,
+        sys.stdin.buffer,
+        stats=args.stats,
+        proof_index=args.proof,
+        skip_leaves=skip_leaves,
+    )
 
 
 if __name__ == "__main__":

@@ -39,6 +39,10 @@ class EngineConfig:
     # unimplemented future work (README.md:118-120).  Costs 32 B/leaf host
     # memory; off by default.
     keep_digests: bool = False
+    # Append each completed slice's root to this JSONL file as it
+    # materializes, making multi-hour streams resumable (SURVEY.md §5.4
+    # stretch; the reference has no checkpoint story).  None disables.
+    journal_path: str | None = None
 
 
 def enable_persistent_cache(path: str | None = None) -> None:

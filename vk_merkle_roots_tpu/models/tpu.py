@@ -118,7 +118,46 @@ class TpuSha256D(Sha256dEngine):
         self._count = 0
         self._bytes = 0
         self._slice_digests: list[np.ndarray] = []  # kept when keep_digests
+        self._journaled = 0  # completed-slice roots already written out
+        self._full_slices = 0  # slices completed at full capacity
         self.times = StageTimes()
+
+    # -- journal / resume --------------------------------------------------
+
+    def PreloadSliceRoots(self, roots: list[bytes], leaves_per_root: int | None = None) -> None:
+        """Seed the engine with already-computed full-slice roots (resume
+        from a journal): subsequent input continues at the next slice.
+        ``leaves_per_root`` defaults to the slice capacity."""
+        if self._count or self._roots:
+            raise RuntimeError("PreloadSliceRoots requires a fresh engine")
+        per = leaves_per_root or self._cap
+        self._roots = list(roots)
+        self._journaled = len(roots)
+        self._full_slices = len(roots)
+        self._count = per * len(roots)
+        event("resume", slices=len(roots), leaves=self._count)
+
+    def _journal_materialized(self) -> None:
+        """Append any newly materialized (host-side) slice roots, in slice
+        order, to the journal file.  Only a prefix of materialized roots is
+        written so the journal is always a consistent resume point."""
+        if not self.config.journal_path:
+            return
+        import json
+
+        new = []
+        i = self._journaled
+        # Only full slices are resume points; the final ragged slice root
+        # (appended during Root()) is never journaled.
+        while i < min(len(self._roots), self._full_slices) and isinstance(self._roots[i], bytes):
+            new.append((i, self._roots[i]))
+            i += 1
+        if not new:
+            return
+        with open(self.config.journal_path, "a") as fh:
+            for idx, root in new:
+                fh.write(json.dumps({"slice": idx, "leaves": self._cap, "root": root.hex()}) + "\n")
+        self._journaled = i
 
     # -- ingest ------------------------------------------------------------
 
@@ -212,6 +251,7 @@ class TpuSha256D(Sha256dEngine):
                 self._slice_digests.append(np.asarray(self._buf[: self._cap]))
             root = self._reduce_full_slice(self._buf[: self._cap])
             self._roots.append(root)
+            self._full_slices += 1
             event("slice_reduced", slice=len(self._roots), leaves=self._cap)
             self._fill = 0
             self.times.add("reduce_dispatch", sw.Elapsed(), self._cap * 32)
@@ -222,6 +262,7 @@ class TpuSha256D(Sha256dEngine):
                 oldest = next(i for i, r in enumerate(self._roots) if not isinstance(r, bytes))
                 self._roots[oldest] = words_to_digest(np.asarray(self._roots[oldest]))
                 event("backpressure_block", slice=oldest + 1)
+            self._journal_materialized()
 
     # -- finalization ------------------------------------------------------
 
@@ -255,6 +296,8 @@ class TpuSha256D(Sha256dEngine):
         roots = [
             r if isinstance(r, bytes) else words_to_digest(np.asarray(r)) for r in self._roots
         ]
+        self._roots = list(roots)
+        self._journal_materialized()
         out = roots[0] if len(roots) == 1 else oracle.merkle_root_of_digests(roots)
         self.times.add("finalize", sw.Elapsed())
         return out.hex()
@@ -292,6 +335,8 @@ class TpuSha256D(Sha256dEngine):
         self._count = 0
         self._bytes = 0
         self._slice_digests = []
+        self._journaled = 0
+        self._full_slices = 0
         self.times = StageTimes()
         return True
 
