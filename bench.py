@@ -155,10 +155,70 @@ def bench_root_latency(n_leaves: int, leaf_bytes: int):
     return _timed_loop(step, words, iters=5)
 
 
+def bench_scaling(mesh_sizes=None, n_leaves_per_dev: int = 1 << 16, leaf_bytes: int = 64):
+    """Sharded-root throughput at increasing mesh sizes (BASELINE.json's
+    scaling-efficiency config).  Uses every local device; on a single-chip
+    host this reports the 1-chip row only."""
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+
+    from vk_merkle_roots_tpu.constants import padded_block_count
+    from vk_merkle_roots_tpu.parallel.mesh import make_mesh, make_sharded_root_fn, shard_words
+
+    ndev_all = len(jax.devices())
+    sizes = mesh_sizes or [n for n in (1, 2, 4, 8, 16, 32) if n <= ndev_all]
+    nblocks = padded_block_count(leaf_bytes)
+    rows = []
+    base = None
+    for ndev in sizes:
+        n_leaves = n_leaves_per_dev * ndev
+        mesh = make_mesh(n_devices=ndev)
+        fn = make_sharded_root_fn(mesh, n_leaves, nblocks)
+        rng = np.random.default_rng(3)
+        words = shard_words(
+            mesh, rng.integers(0, 1 << 32, size=(n_leaves, nblocks * 16), dtype=np.uint32)
+        )
+        _ = np.asarray(fn(words))  # warm/compile
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            _ = np.asarray(fn(words))
+            times.append(time.perf_counter() - t0)
+        sec = float(np.median(times))
+        leaves_per_s = n_leaves / sec
+        if base is None:
+            base = leaves_per_s
+        rows.append(
+            {
+                "devices": ndev,
+                "leaves_per_sec": round(leaves_per_s),
+                "efficiency": round(leaves_per_s / (base * ndev), 3),
+            }
+        )
+    return rows
+
+
 def main():
+    import argparse
+
     from vk_merkle_roots_tpu.config import enable_persistent_cache
 
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--scaling", action="store_true", help="mesh-scaling rows instead")
+    parser.add_argument("--profile", metavar="DIR", default=None, help="write a jax.profiler trace")
+    args = parser.parse_args()
+
     enable_persistent_cache()
+
+    if args.scaling:
+        print(json.dumps({"metric": "scaling", "rows": bench_scaling()}))
+        return
+
+    if args.profile:
+        import jax
+
+        jax.profiler.start_trace(args.profile)
     _correctness_gate()
 
     # Mapping: 2^20 leaves x 127 B (the canonical leaf size; 3 blocks).
@@ -193,6 +253,11 @@ def main():
             "backend": __import__("jax").default_backend(),
         },
     }
+    if args.profile:
+        import jax
+
+        jax.profiler.stop_trace()
+        result["extras"]["profile_dir"] = args.profile
     print(json.dumps(result))
 
 

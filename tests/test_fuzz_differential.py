@@ -1,0 +1,55 @@
+"""Seeded randomized differential sweep: every engine/config combination
+must agree with the oracle on randomized streams (the de-facto test
+methodology of the reference — two engines behind one loop, compared by
+printed root; SURVEY.md §4 — industrialized)."""
+
+import numpy as np
+import pytest
+
+from vk_merkle_roots_tpu import CpuSha256D, oracle
+from vk_merkle_roots_tpu.config import EngineConfig
+from vk_merkle_roots_tpu.models.tpu import TpuSha256D
+
+
+@pytest.mark.parametrize("trial", range(8))
+def test_randomized_stream_all_engines_agree(trial):
+    rng = np.random.default_rng(1000 + trial)
+    n = int(rng.integers(1, 400))
+    maxlen = int(rng.integers(2, 300))
+    leaves = [
+        rng.integers(0, 256, size=int(rng.integers(1, maxlen)), dtype=np.uint8).tobytes()
+        for _ in range(n)
+    ]
+    want = oracle.merkle_root(leaves).hex()
+
+    cpu = CpuSha256D()
+    assert cpu.AddMany(leaves)
+    assert cpu.Root() == want
+
+    slice_log2 = int(rng.integers(3, 9))
+    batch = int(rng.integers(5, 200))
+    dev = TpuSha256D(
+        name="fuzz",
+        config=EngineConfig(slice_log2=slice_log2, batch_leaves=batch, backend="xla"),
+    )
+    assert dev.AddMany(leaves)
+    assert dev.Root() == want, f"slice_log2={slice_log2} batch={batch} n={n}"
+
+
+def test_pathological_lengths():
+    """All leaves exactly at block boundaries, interleaved."""
+    leaves = []
+    for i in range(60):
+        leaves.append(bytes([i]) * [1, 55, 56, 64, 119, 120][i % 6])
+    want = oracle.merkle_root(leaves).hex()
+    dev = TpuSha256D(name="p", config=EngineConfig(slice_log2=4, batch_leaves=7, backend="xla"))
+    dev.AddMany(leaves)
+    assert dev.Root() == want
+
+
+def test_single_byte_leaves_large_count():
+    leaves = [bytes([i & 0xFF]) for i in range(1000)]
+    want = oracle.merkle_root(leaves).hex()
+    dev = TpuSha256D(name="s", config=EngineConfig(slice_log2=7, batch_leaves=333, backend="xla"))
+    dev.AddMany(leaves)
+    assert dev.Root() == want
