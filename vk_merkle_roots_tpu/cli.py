@@ -20,7 +20,6 @@ import argparse
 import sys
 
 from .config import EngineConfig, enable_persistent_cache
-from .models.cpu import CpuSha256D
 from .utils.timing import StopWatch
 
 
@@ -33,18 +32,6 @@ def _tpu_device_names() -> list[str]:
         return sorted({d.device_kind for d in jax.devices() if d.platform != "cpu"})
     except Exception:
         return []
-
-
-def _make_engine(name: str, config: EngineConfig):
-    if name == "CPU":
-        return CpuSha256D()
-    if name == "MESH":
-        from .models.mesh import MeshSha256D
-
-        return MeshSha256D(config=config)
-    from .models.tpu import TpuSha256D
-
-    return TpuSha256D(name=name, config=config)
 
 
 def run(
@@ -155,18 +142,10 @@ def main(argv=None) -> int:
         config.keep_digests = True
     config.journal_path = args.journal
 
-    tpu_names = _tpu_device_names()
-    # "CPU" is the serial oracle engine; "XLA" runs the full device pipeline
-    # on the default JAX device (useful on hosts without an accelerator);
-    # "MESH" streams across every local device.
-    available = ["CPU"] + tpu_names + ["XLA"]
-    try:
-        import jax
+    from .models import registry
 
-        if len(jax.devices()) > 1:
-            available.append("MESH")
-    except Exception:
-        pass
+    tpu_names = _tpu_device_names()
+    available = registry.Available()
     aliases = {"TPU": tpu_names[0]} if tpu_names else {}
 
     name = args.device
@@ -190,10 +169,13 @@ def main(argv=None) -> int:
         print("No device selected; aborting.", file=sys.stderr)
         return 1
 
+    # Startup inventory, like the reference's device dump at construction
+    # (SHA-256vk.cpp:110-155).
+    print(f"Engines: {', '.join(available)}", file=sys.stderr)
     print(f"Initializing for: {name}")
     if name != "CPU":
         enable_persistent_cache()
-    engine = _make_engine(name, config)
+    engine = registry.Get(name, config)
 
     skip_leaves = 0
     if args.journal:
