@@ -98,3 +98,15 @@ def test_stats_shape(rng):
     stats = e.Stats()
     assert stats["leaves"] == 80
     assert "stages" in stats and "pack" in stats["stages"]
+
+
+def test_root_is_idempotent(rng):
+    """Root() may be called repeatedly without re-folding the ragged tail
+    (regression: the trailing slice root used to be appended per call)."""
+    leaves = random_leaves(rng, 200, maxlen=40)  # 3 full 64-slices + tail
+    e = _tpu_engine()
+    e.AddMany(leaves)
+    first = e.Root()
+    assert first == oracle.merkle_root(leaves).hex()
+    assert e.Root() == first
+    assert e.Root() == first

@@ -21,8 +21,6 @@ the zero-copy alternative for aligned batch workloads; this engine is the
 
 from __future__ import annotations
 
-import numpy as np
-
 from ..config import EngineConfig
 from .tpu import TpuSha256D
 

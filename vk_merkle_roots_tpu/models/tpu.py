@@ -120,6 +120,7 @@ class TpuSha256D(Sha256dEngine):
         self._slice_digests: list[np.ndarray] = []  # kept when keep_digests
         self._journaled = 0  # completed-slice roots already written out
         self._full_slices = 0  # slices completed at full capacity
+        self._tail_done = False  # trailing ragged slice folded into _roots
         self.times = StageTimes()
 
     # -- journal / resume --------------------------------------------------
@@ -272,25 +273,28 @@ class TpuSha256D(Sha256dEngine):
         while self._pending.count > 0:
             self._flush_some()
         sw = StopWatch()
-        if self._fill > 0 and self.config.keep_digests:
+        if self._fill > 0 and self.config.keep_digests and not self._tail_done:
             self._slice_digests.append(np.asarray(self._buf[: self._fill]))
         if self._fill > 0:
             if not self._roots:
                 # Single (possibly ragged) slice: plain Merkle root.
+                self._tail_done = True
                 root = merkle_root_of_digest_rows(
                     self._buf[: self._fill], self._fill, self.config.backend
                 )
                 self.times.add("finalize", sw.Elapsed())
                 return root.hex()
-            # Ragged trailing slice: phantom full height (README.md:94).
-            self._roots.append(
-                slice_root(
-                    self._buf[: self._fill],
-                    self._fill,
-                    self.config.slice_log2,
-                    self.config.backend,
+            if not self._tail_done:
+                # Ragged trailing slice: phantom full height (README.md:94).
+                self._roots.append(
+                    slice_root(
+                        self._buf[: self._fill],
+                        self._fill,
+                        self.config.slice_log2,
+                        self.config.backend,
+                    )
                 )
-            )
+                self._tail_done = True
         if not self._roots:
             return ""
         roots = [
@@ -337,6 +341,7 @@ class TpuSha256D(Sha256dEngine):
         self._slice_digests = []
         self._journaled = 0
         self._full_slices = 0
+        self._tail_done = False
         self.times = StageTimes()
         return True
 

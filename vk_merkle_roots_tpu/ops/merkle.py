@@ -8,8 +8,6 @@ dataset, SHA-256vk.cpp:288-313)."""
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -20,7 +20,7 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from .constants import BLOCK_BYTES, BLOCK_WORDS, MAX_LEAF_BYTES, padded_block_count
+from .constants import BLOCK_BYTES, MAX_LEAF_BYTES, padded_block_count
 
 
 @dataclass

@@ -25,15 +25,12 @@ ragged tail of the leaf-hash work.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..utils.bitmath import ceil_log2, is_pow2
-from ..ops.leaf_hash import _leaf_kernel  # noqa: F401  (re-export site)
 from ..ops import leaf_hash as _lh
 from ..ops import tree_reduce as _tr
 
