@@ -155,6 +155,96 @@ def bench_root_latency(n_leaves: int, leaf_bytes: int):
     return _timed_loop(step, words, iters=5)
 
 
+def bench_stream_pipeline(slice_log2: int = 20, batch_log2: int = 16, n_slices: int = 4):
+    """Streamed multi-slice pipeline throughput (BASELINE config "2^20
+    leaves x 127B, single host — multi-slice HBM pipeline"), with ingest
+    simulated on-device: batches of packed words are appended into the
+    slice buffer and each filled slice is reduced, exactly the engine's
+    dataflow, but without the development tunnel's 1 MB/s host link."""
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+
+    from vk_merkle_roots_tpu.ops.leaf_hash import _bucket_hashes
+    from vk_merkle_roots_tpu.ops.tree_reduce import _bitrev, reduce_bitrev_body
+
+    nblocks = 3  # 127-byte leaves
+    cap = 1 << slice_log2
+    batch = 1 << batch_log2
+    use_pallas = jax.default_backend() == "tpu"
+    rev = jnp.asarray(_bitrev(slice_log2))
+
+    @jax.jit
+    def slice_pipeline(words, buf):
+        # One whole slice: cap/batch dependent batch-hash+append steps, then
+        # the full tree reduce — exactly the engine's per-slice dataflow in a
+        # single dispatch (per-call dispatch RTT through the development
+        # tunnel would otherwise dominate).
+        def body(i, b):
+            w = words.at[0, 0].add(i.astype(jnp.uint32))
+            digs = _bucket_hashes(w, nblocks, use_pallas, not use_pallas)
+            return jax.lax.dynamic_update_slice(b, digs, (i * batch, 0))
+
+        buf = jax.lax.fori_loop(0, cap // batch, body, buf)
+        root = reduce_bitrev_body(
+            jnp.take(buf, rev, axis=0), slice_log2, use_pallas, not use_pallas
+        )
+        return buf, root
+
+    @partial(jax.jit, static_argnums=(2,))
+    def stream(words, buf, n):
+        # The whole stream in one dispatch: per-call RTT through the
+        # development tunnel (~35-100 ms) would otherwise swamp the
+        # ~10 ms/slice of real device work.
+        def slice_body(s, carry):
+            b, acc = carry
+            b, root = slice_pipeline(words.at[0, 1].add(s.astype(jnp.uint32)), b)
+            return (b, acc ^ root)
+
+        return jax.lax.fori_loop(0, n, slice_body, (buf, jnp.zeros(8, jnp.uint32)))
+
+    key = jax.random.PRNGKey(4)
+    words = jax.random.randint(key, (batch, nblocks * 16), 0, 1 << 30, dtype=jnp.int32).astype(
+        jnp.uint32
+    )
+    buf = jnp.zeros((cap, 8), jnp.uint32)
+    # Warm/compile BOTH static-n programs before timing (n is a static arg:
+    # each value is a separate compilation, and a compile inside the timed
+    # region would swamp the ~10 ms/slice of device work).
+    _ = np.asarray(stream(words, buf, 1)[1])
+    _ = np.asarray(stream(words, buf, n_slices + 1)[1])
+
+    rtts, times = [], []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _ = np.asarray(stream(words, buf, 1)[1])
+        rtts.append(time.perf_counter() - t0)
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _ = np.asarray(stream(words, buf, n_slices + 1)[1])
+        times.append(time.perf_counter() - t0)
+    # (n_slices+1)-run minus 1-run leaves exactly n_slices of pipeline work.
+    sec = max(float(np.median(times) - np.median(rtts)), 1e-9)
+    leaves = n_slices * cap
+    return leaves * 127 / sec / 1e9, leaves / sec
+
+
+def bench_host_pack(n_leaves: int = 1 << 18, maxlen: int = 1024):
+    """Host-side packing throughput over variable-length leaves (BASELINE
+    config "variable-length leaves — padding/bucketing path")."""
+    from vk_merkle_roots_tpu.packing import pack_spans
+
+    rng = np.random.default_rng(5)
+    lens = rng.integers(1, maxlen + 1, size=n_leaves)
+    offs = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    data = rng.integers(0, 256, size=int(lens.sum()), dtype=np.uint8)
+    t0 = time.perf_counter()
+    packed = pack_spans(data, offs, lens)
+    sec = time.perf_counter() - t0
+    assert packed.count == n_leaves
+    return int(lens.sum()) / sec / 1e6  # MB/s
+
+
 def bench_scaling(mesh_sizes=None, n_leaves_per_dev: int = 1 << 16, leaf_bytes: int = 64):
     """Sharded-root throughput at increasing mesh sizes (BASELINE.json's
     scaling-efficiency config).  Uses every local device; on a single-chip
@@ -233,6 +323,9 @@ def main():
     red_nodes_per_s = ((1 << 23) - 1) / red_sec
 
     lat_sec = bench_root_latency(1 << 20, 127)
+    lat64_sec = bench_root_latency(1 << 16, 64)
+    stream_gbps, stream_leaves = bench_stream_pipeline()
+    pack_mbps = bench_host_pack()
 
     # Baselines: reference's best published rows (BASELINE.md).
     base_map_gbps = 3.039  # Iris Xe mapping
@@ -250,6 +343,10 @@ def main():
             "reduction_vs_best_baseline": round(red_gbps / base_red_gbps, 2),
             "reduction_node_hashes_per_sec": round(red_nodes_per_s),
             "root_latency_ms_2^20x127B": round(lat_sec * 1e3, 3),
+            "root_latency_ms_2^16x64B": round(lat64_sec * 1e3, 3),
+            "stream_pipeline_GBps_4x2^20x127B": round(stream_gbps, 3),
+            "stream_pipeline_leaves_per_sec": round(stream_leaves),
+            "host_pack_MBps_varlen": round(pack_mbps, 1),
             "backend": __import__("jax").default_backend(),
         },
     }

@@ -78,3 +78,45 @@ def test_trailing_fragment_is_a_line():
     r = _run_cli(["CPU"], b"a\nb")  # no trailing newline
     want = oracle.merkle_root([b"a", b"b"]).hex()
     assert want in r.stdout.decode()
+
+
+def test_input_file_matches_stdin(tmp_path):
+    stream = b"".join(bytes([97 + i % 26]) * (1 + i % 50) + b"\n" for i in range(100))
+    path = tmp_path / "stream.txt"
+    path.write_bytes(stream)
+    a = _run_cli(["CPU"], stream)
+    b = _run_cli(["CPU", "--input", str(path)], b"")
+    assert a.returncode == 0 and b.returncode == 0
+    root_a = a.stdout.decode().split("=> ")[1].split(" ")[0]
+    root_b = b.stdout.decode().split("=> ")[1].split(" ")[0]
+    assert root_a == root_b
+
+
+def test_auto_slice_runs():
+    r = _run_cli(["XLA", "--auto-slice"], b"a\nbb\nccc\n")
+    assert r.returncode == 0
+    want = oracle.merkle_root([b"a", b"bb", b"ccc"]).hex()
+    assert want in r.stdout.decode()
+
+
+def test_auto_slice_log2_math(monkeypatch):
+    import jax
+
+    from vk_merkle_roots_tpu.config import auto_slice_log2
+
+    class FakeDev:
+        def __init__(self, limit):
+            self._limit = limit
+
+        def memory_stats(self):
+            return {"bytes_limit": self._limit}
+
+    # 16 GB HBM at 1/8 budget -> 2 GB / 32 B = 2^26 digests.
+    monkeypatch.setattr(jax, "devices", lambda: [FakeDev(16 << 30)])
+    assert auto_slice_log2() == 26
+    # No stats -> default.
+    monkeypatch.setattr(jax, "devices", lambda: [FakeDev(0)])
+    assert auto_slice_log2() == 20
+    # Huge budget is capped.
+    monkeypatch.setattr(jax, "devices", lambda: [FakeDev(1 << 50)])
+    assert auto_slice_log2() == 26

@@ -126,6 +126,17 @@ def main(argv=None) -> int:
         help="append completed slice roots to PATH; on restart, resume from "
         "the journal (skipping already-reduced leaves from stdin)",
     )
+    parser.add_argument(
+        "--input",
+        metavar="FILE",
+        default=None,
+        help="read the stream from FILE instead of stdin",
+    )
+    parser.add_argument(
+        "--auto-slice",
+        action="store_true",
+        help="size slices from the device memory budget (Slices.h:421-454 analog)",
+    )
     args = parser.parse_args(argv)
 
     if args.verbose:
@@ -133,6 +144,10 @@ def main(argv=None) -> int:
 
         enable_verbose()
     config = EngineConfig()
+    if args.auto_slice:
+        from .config import auto_slice_log2
+
+        config.slice_log2 = auto_slice_log2()
     if args.slice_log2 is not None:
         config.slice_log2 = args.slice_log2
     if args.batch_leaves is not None:
@@ -199,6 +214,11 @@ def main(argv=None) -> int:
                     f"skipping {skip_leaves} leaf/leaves",
                     file=sys.stderr,
                 )
+    if args.input:
+        with open(args.input, "rb") as fh:
+            return run(
+                engine, fh, stats=args.stats, proof_index=args.proof, skip_leaves=skip_leaves
+            )
     return run(
         engine,
         sys.stdin.buffer,

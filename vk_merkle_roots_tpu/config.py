@@ -45,6 +45,26 @@ class EngineConfig:
     journal_path: str | None = None
 
 
+def auto_slice_log2(max_fraction: float = 0.125, default: int = 20, cap: int = 26) -> int:
+    """Derive the slice size from the device memory budget, the role of the
+    reference's ``Slices::New`` sizing formula (min of largest
+    single-pass-reducible size, allocation limits, and a preferred 256 MB —
+    Slices.h:421-454): the largest power-of-two leaf count whose 32 B/leaf
+    digest buffer stays under ``max_fraction`` of device memory."""
+    import jax
+
+    try:
+        stats = jax.devices()[0].memory_stats() or {}
+        limit = int(stats.get("bytes_limit", 0))
+    except Exception:
+        limit = 0
+    if limit <= 0:
+        return default
+    budget = int(limit * max_fraction)
+    k = max((budget // 32).bit_length() - 1, 10)
+    return min(k, cap)
+
+
 def enable_persistent_cache(path: str | None = None) -> None:
     """Turn on JAX's persistent compilation cache so kernel compiles are
     paid once per machine, not once per process (the role the reference's

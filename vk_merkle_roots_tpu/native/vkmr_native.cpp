@@ -155,10 +155,12 @@ void digest_bytes_to_words(const uint8_t* in, uint32_t w[8]) {
 extern "C" {
 
 // SHA-256d of every (offset,length) span; out = n * 32 bytes of digests.
+// Leaves are independent, so the loop parallelizes across cores.
 void vkmr_leaf_hashes(const uint8_t* data, const int64_t* offsets,
                       const int64_t* lengths, int64_t n, uint8_t* out) {
-  uint32_t d1[8], d2[8];
+#pragma omp parallel for schedule(dynamic, 256)
   for (int64_t i = 0; i < n; ++i) {
+    uint32_t d1[8], d2[8];
     sha256_span(data + offsets[i], uint64_t(lengths[i]), d1);
     sha256_of_digest(d1, d2);
     digest_words_to_bytes(d2, out + 32 * i);
@@ -206,18 +208,22 @@ void vkmr_pack_bucket(const uint8_t* data, const int64_t* offsets,
                       uint32_t* out) {
   const int64_t words_per = int64_t(nblocks) * 16;
   const int64_t pitch_bytes = int64_t(nblocks) * 64;
-  std::vector<uint8_t> row(static_cast<size_t>(pitch_bytes), 0);
-  for (int64_t i = 0; i < n; ++i) {
-    const int64_t len = lengths[i];
-    std::memset(row.data(), 0, size_t(pitch_bytes));
-    std::memcpy(row.data(), data + offsets[i], size_t(len));
-    row[size_t(len)] = 0x80;
-    const uint64_t bits = uint64_t(len) * 8;
-    for (int i2 = 0; i2 < 8; ++i2)
-      row[size_t(pitch_bytes - 8 + i2)] = uint8_t(bits >> (56 - 8 * i2));
-    uint32_t* orow = out + i * words_per;
-    for (int64_t wIdx = 0; wIdx < words_per; ++wIdx)
-      orow[wIdx] = load_be32(row.data() + 4 * wIdx);
+#pragma omp parallel
+  {
+    std::vector<uint8_t> row(static_cast<size_t>(pitch_bytes), 0);
+#pragma omp for schedule(dynamic, 512)
+    for (int64_t i = 0; i < n; ++i) {
+      const int64_t len = lengths[i];
+      std::memset(row.data(), 0, size_t(pitch_bytes));
+      std::memcpy(row.data(), data + offsets[i], size_t(len));
+      row[size_t(len)] = 0x80;
+      const uint64_t bits = uint64_t(len) * 8;
+      for (int i2 = 0; i2 < 8; ++i2)
+        row[size_t(pitch_bytes - 8 + i2)] = uint8_t(bits >> (56 - 8 * i2));
+      uint32_t* orow = out + i * words_per;
+      for (int64_t wIdx = 0; wIdx < words_per; ++wIdx)
+        orow[wIdx] = load_be32(row.data() + 4 * wIdx);
+    }
   }
 }
 
