@@ -86,6 +86,40 @@ def test_cpu_engine_uses_native_consistently(rng):
     assert a.Root() == b.Root() == oracle.merkle_root(leaves).hex()
 
 
+def test_shani_and_scalar_paths_agree(rng, tmp_path):
+    """The SHA-NI and scalar compressions are load-time dispatch alternatives
+    of the same function; prove byte-equality by hashing the same stream in a
+    subprocess with VKMR_FORCE_SCALAR=1 and comparing against this process's
+    (possibly hardware-accelerated) result."""
+    import os
+    import subprocess
+    import sys
+
+    leaves = random_leaves(rng, 64, maxlen=200)
+    here = nl.native_leaf_hashes(leaves)
+    digs = np.frombuffer(b"".join(here), np.uint8).reshape(-1, 32)
+    root_here = nl.native_merkle_root(digs)
+    blob = tmp_path / "leaves.bin"
+    blob.write_bytes(b"\x00".join(x.hex().encode() for x in leaves))
+    code = (
+        "import sys, numpy as np\n"
+        "from vk_merkle_roots_tpu.native import lib as nl\n"
+        "assert not nl.native_shani_active(), 'VKMR_FORCE_SCALAR ignored'\n"
+        "leaves = [bytes.fromhex(t.decode()) for t in open(sys.argv[1],'rb').read().split(b'\\x00')]\n"
+        "h = nl.native_leaf_hashes(leaves)\n"
+        "d = np.frombuffer(b''.join(h), np.uint8).reshape(-1, 32)\n"
+        "sys.stdout.write(nl.native_merkle_root(d).hex())\n"
+    )
+    env = dict(os.environ, VKMR_FORCE_SCALAR="1", JAX_PLATFORMS="cpu")
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    out = subprocess.run(
+        [sys.executable, "-c", code, str(blob)],
+        capture_output=True, text=True, timeout=120, env=env,
+    )
+    assert out.returncode == 0, out.stderr
+    assert out.stdout == root_here.hex()
+
+
 def test_packing_native_vs_numpy_fallback(rng, monkeypatch):
     leaves = random_leaves(rng, 60, maxlen=150)
     with_native = pack_leaves(leaves)

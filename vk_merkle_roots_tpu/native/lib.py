@@ -60,6 +60,13 @@ def native_available() -> bool:
     return _load() is not None
 
 
+def native_shani_active() -> bool:
+    """True when the library dispatched to the hardware SHA-256 (SHA-NI)
+    compression at load time (VKMR_FORCE_SCALAR=1 pins the scalar form)."""
+    lib = _load()
+    return bool(lib is not None and lib.vkmr_shani_active())
+
+
 def _ptr(arr, ctype):
     return arr.ctypes.data_as(ctypes.POINTER(ctype))
 

@@ -21,8 +21,14 @@
 // Build: make -C vk_merkle_roots_tpu/native
 
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
 #include <vector>
+
+#if defined(__x86_64__) || defined(_M_X64)
+#define VKMR_X86 1
+#include <immintrin.h>
+#endif
 
 namespace {
 
@@ -50,7 +56,8 @@ constexpr uint32_t kRound[64] = {
 inline uint32_t rotr(uint32_t x, unsigned n) { return (x >> n) | (x << (32u - n)); }
 
 // One compression round over a prepared 16-word (big-endian-decoded) block.
-void compress_block(uint32_t state[8], const uint32_t block[16]) {
+// Scalar form; dispatched against the SHA-NI form below at runtime.
+void compress_block_scalar(uint32_t state[8], const uint32_t block[16]) {
   uint32_t w[16];
   std::memcpy(w, block, sizeof(w));
   uint32_t a = state[0], b = state[1], c = state[2], d = state[3];
@@ -77,6 +84,89 @@ void compress_block(uint32_t state[8], const uint32_t block[16]) {
   }
   state[0] += a; state[1] += b; state[2] += c; state[3] += d;
   state[4] += e; state[5] += f; state[6] += g; state[7] += h;
+}
+
+#ifdef VKMR_X86
+// Hardware SHA-256 (SHA-NI) form of the same compression.  The reference's
+// CPU engine is scalar-only (SHA-256plus.cpp:99-276); this is where a
+// native rebuild earns its keep on modern x86.  Register convention per the
+// ISA: STATE0 holds {A,B,E,F}, STATE1 holds {C,D,G,H} (high->low lanes);
+// sha256rnds2 retires two rounds per issue, alternating register halves.
+// Input words are already big-endian-decoded, so lane i of a 16-byte load
+// is message word 4*j+i directly — no byte shuffle needed.
+
+__attribute__((target("sha,sse4.1,ssse3")))
+inline void shani_round4(__m128i& s0, __m128i& s1, __m128i msg4, const uint32_t* k4) {
+  __m128i m = _mm_add_epi32(msg4, _mm_loadu_si128(reinterpret_cast<const __m128i*>(k4)));
+  s1 = _mm_sha256rnds2_epu32(s1, s0, m);
+  m = _mm_shuffle_epi32(m, 0x0E);
+  s0 = _mm_sha256rnds2_epu32(s0, s1, m);
+}
+
+__attribute__((target("sha,sse4.1,ssse3")))
+inline __m128i shani_sched(__m128i m0, __m128i m1, __m128i m2, __m128i m3) {
+  // W[t] = W[t-16] + s0(W[t-15]) + W[t-7] + s1(W[t-2]) for the next 4 t.
+  m0 = _mm_sha256msg1_epu32(m0, m1);
+  m0 = _mm_add_epi32(m0, _mm_alignr_epi8(m3, m2, 4));
+  return _mm_sha256msg2_epu32(m0, m3);
+}
+
+__attribute__((target("sha,sse4.1,ssse3")))
+void compress_block_shani(uint32_t state[8], const uint32_t block[16]) {
+  // Pack (a..h) into the {ABEF},{CDGH} registers.
+  __m128i abcd = _mm_loadu_si128(reinterpret_cast<const __m128i*>(&state[0]));
+  __m128i efgh = _mm_loadu_si128(reinterpret_cast<const __m128i*>(&state[4]));
+  __m128i badc = _mm_shuffle_epi32(abcd, 0xB1);
+  __m128i hgfe = _mm_shuffle_epi32(efgh, 0x1B);
+  __m128i s0 = _mm_alignr_epi8(badc, hgfe, 8);      // lanes (f,e,b,a) = ABEF
+  __m128i s1 = _mm_blend_epi16(hgfe, badc, 0xF0);   // lanes (h,g,d,c) = CDGH
+  const __m128i save0 = s0, save1 = s1;
+
+  __m128i m0 = _mm_loadu_si128(reinterpret_cast<const __m128i*>(&block[0]));
+  __m128i m1 = _mm_loadu_si128(reinterpret_cast<const __m128i*>(&block[4]));
+  __m128i m2 = _mm_loadu_si128(reinterpret_cast<const __m128i*>(&block[8]));
+  __m128i m3 = _mm_loadu_si128(reinterpret_cast<const __m128i*>(&block[12]));
+
+  shani_round4(s0, s1, m0, &kRound[0]);
+  shani_round4(s0, s1, m1, &kRound[4]);
+  shani_round4(s0, s1, m2, &kRound[8]);
+  shani_round4(s0, s1, m3, &kRound[12]);
+  for (unsigned r = 16; r < 64; r += 16) {
+    m0 = shani_sched(m0, m1, m2, m3); shani_round4(s0, s1, m0, &kRound[r + 0]);
+    m1 = shani_sched(m1, m2, m3, m0); shani_round4(s0, s1, m1, &kRound[r + 4]);
+    m2 = shani_sched(m2, m3, m0, m1); shani_round4(s0, s1, m2, &kRound[r + 8]);
+    m3 = shani_sched(m3, m0, m1, m2); shani_round4(s0, s1, m3, &kRound[r + 12]);
+  }
+  s0 = _mm_add_epi32(s0, save0);
+  s1 = _mm_add_epi32(s1, save1);
+
+  // Unpack back to (a..h).
+  __m128i feba = _mm_shuffle_epi32(s0, 0x1B);       // lanes (a,b,e,f)
+  __m128i ghcd = _mm_shuffle_epi32(s1, 0xB1);       // lanes (g,h,c,d)
+  abcd = _mm_blend_epi16(feba, ghcd, 0xF0);         // lanes (a,b,c,d)
+  efgh = _mm_alignr_epi8(ghcd, feba, 8);            // lanes (e,f,g,h)
+  _mm_storeu_si128(reinterpret_cast<__m128i*>(&state[0]), abcd);
+  _mm_storeu_si128(reinterpret_cast<__m128i*>(&state[4]), efgh);
+}
+#endif  // VKMR_X86
+
+using CompressFn = void (*)(uint32_t[8], const uint32_t[16]);
+
+CompressFn pick_compress() {
+#ifdef VKMR_X86
+  if (std::getenv("VKMR_FORCE_SCALAR") == nullptr &&
+      __builtin_cpu_supports("sha") && __builtin_cpu_supports("sse4.1") &&
+      __builtin_cpu_supports("ssse3")) {
+    return compress_block_shani;
+  }
+#endif
+  return compress_block_scalar;
+}
+
+const CompressFn g_compress = pick_compress();
+
+inline void compress_block(uint32_t state[8], const uint32_t block[16]) {
+  g_compress(state, block);
 }
 
 inline uint32_t load_be32(const uint8_t* p) {
@@ -181,6 +271,7 @@ int vkmr_merkle_root(const uint8_t* digests, int64_t n, int32_t height,
     const int64_t count = int64_t(level.size() / 8);
     const int64_t pairs = (count + 1) / 2;
     std::vector<uint32_t> next(size_t(pairs) * 8);
+#pragma omp parallel for schedule(static) if (pairs >= 2048)
     for (int64_t i = 0; i < pairs; ++i) {
       const uint32_t* l = &level[size_t(2 * i) * 8];
       const uint32_t* r = (2 * i + 1 < count) ? &level[size_t(2 * i + 1) * 8] : l;
@@ -271,5 +362,10 @@ int64_t vkmr_rndm_stream(uint32_t seed, int64_t count, int32_t maxlen,
 
 // ABI/version probe for the ctypes loader.
 int32_t vkmr_native_abi(void) { return 1; }
+
+// 1 if the hardware SHA-256 (SHA-NI) compression is in use, else 0.
+// Set VKMR_FORCE_SCALAR=1 before load to pin the scalar path (used by the
+// differential tests to cover both forms).
+int32_t vkmr_shani_active(void) { return g_compress == compress_block_scalar ? 0 : 1; }
 
 }  // extern "C"
