@@ -65,6 +65,35 @@ def test_tpu_engine_proof_multi_slice(rng, n):
         assert oracle.verify_proof(oracle.leaf_hash(leaves[i]), path) == root
 
 
+def test_verify_tool_roundtrip(rng, tmp_path, capsys):
+    """vkmr --proof JSON -> vkmr-verify: accepts the valid path, rejects a
+    tampered root, both via the importable main()."""
+    import json
+
+    from vk_merkle_roots_tpu.tools import verify as vtool
+
+    leaves = random_leaves(rng, 9, maxlen=30)
+    root = oracle.merkle_root(leaves)
+    path = oracle.merkle_proof(leaves, 4)
+    record = {
+        "leaf_index": 4,
+        "root": root.hex(),
+        "path": [{"sibling": s.hex(), "side": side} for s, side in path],
+    }
+    pj = tmp_path / "proof.json"
+    pj.write_text(json.dumps(record))
+    rc = vtool.main([str(pj), "--leaf-hex", leaves[4].hex()])
+    assert rc == 0 and capsys.readouterr().out.startswith(f"OK {root.hex()}")
+
+    record["root"] = "00" * 32
+    pj.write_text(json.dumps(record))
+    assert vtool.main([str(pj), "--leaf-hex", leaves[4].hex()]) == 1
+
+    # Wrong leaf also fails.
+    pj.write_text(json.dumps(dict(record, root=root.hex())))
+    assert vtool.main([str(pj), "--leaf-hex", leaves[5].hex()]) == 1
+
+
 def test_tpu_engine_proof_requires_flag(rng):
     e = TpuSha256D(name="t", config=EngineConfig(slice_log2=6, backend="xla"))
     e.AddMany(random_leaves(rng, 5, maxlen=10))
