@@ -28,8 +28,15 @@ def Available() -> list[str]:
     return names
 
 
+def _accelerators(names: list[str]) -> list[str]:
+    return [n for n in names if n not in ("CPU", "XLA", "MESH")]
+
+
 def Has(name: str) -> bool:
-    return name in Available() or (name == "TPU" and len(Available()) > 2)
+    names = Available()
+    if name == "TPU":
+        return bool(_accelerators(names))
+    return name in names
 
 
 def Get(name: str, config: EngineConfig | None = None) -> Sha256dEngine:
@@ -37,7 +44,7 @@ def Get(name: str, config: EngineConfig | None = None) -> Sha256dEngine:
     accelerator kind)."""
     names = Available()
     if name == "TPU":
-        accel = [n for n in names if n not in ("CPU", "XLA", "MESH")]
+        accel = _accelerators(names)
         if not accel:
             raise KeyError("no accelerator device available")
         name = accel[0]
