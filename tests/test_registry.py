@@ -40,7 +40,7 @@ def test_unknown_engine_raises():
 def test_has():
     assert registry.Has("CPU")
     assert not registry.Has("NoSuchThing")
-    # On a CPU-only host the TPU alias must be absent even though the
-    # multi-device MESH engine makes Available() longer than [CPU, XLA]:
-    # Has and Get must agree (Get("TPU") raises here).
-    assert not registry.Has("TPU")
+    # Has and Get must agree on the TPU alias: it is present exactly when a
+    # real accelerator kind is (MESH on a multi-device CPU host must not
+    # inflate it).
+    assert registry.Has("TPU") == bool(registry._accelerators(registry.Available()))
