@@ -30,6 +30,34 @@ def test_single_leaf():
     assert e.Root() == oracle.merkle_root([b"hello"]).hex()
 
 
+@pytest.mark.parametrize("n1,n2", [(3, 4), (70, 5), (100, 200), (64, 64), (130, 1)])
+def test_grow_after_root(rng, n1, n2):
+    """Root(), then more Adds, then Root() again == oracle over all leaves
+    (the provisional ragged-tail root must be reopened, not frozen)."""
+    leaves = random_leaves(rng, n1 + n2, maxlen=60)
+    e = _tpu_engine()
+    assert e.AddMany(leaves[:n1])
+    assert e.Root() == oracle.merkle_root(leaves[:n1]).hex()
+    assert e.AddMany(leaves[n1:])
+    assert e.Root() == oracle.merkle_root(leaves).hex()
+
+
+def test_grow_after_root_with_proofs(rng):
+    """keep_digests snapshots follow the reopened tail."""
+    leaves = random_leaves(rng, 100, maxlen=40)
+    e = TpuSha256D(
+        name="t",
+        config=EngineConfig(slice_log2=6, batch_leaves=30, backend="xla", keep_digests=True),
+    )
+    assert e.AddMany(leaves[:80])
+    e.Root()
+    assert e.AddMany(leaves[80:])
+    root = bytes.fromhex(e.Root())
+    assert root == oracle.merkle_root(leaves)
+    for i in (0, 79, 99):
+        assert oracle.verify_proof(oracle.leaf_hash(leaves[i]), e.Proof(i)) == root
+
+
 @pytest.mark.parametrize("n", [1, 2, 63, 64, 65, 200, 333])
 def test_multi_slice_stream_matches_oracle(rng, n):
     """n spanning fewer/equal/more than one 64-leaf slice, incl. ragged."""

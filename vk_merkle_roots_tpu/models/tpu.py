@@ -184,6 +184,16 @@ class TpuSha256D(Sha256dEngine):
         must be positive (the CLI filters empty lines, Vkmr.cpp:40-43)."""
         if lengths.size and int(lengths.max()) > MAX_LEAF_BYTES:
             return False
+        if self._tail_done and lengths.size:
+            # The stream grew after Root(): reopen the provisional ragged
+            # tail.  Its root (and keep_digests snapshot) were only ever
+            # finalization artifacts — pop them so the next Root() recomputes
+            # the tail over old + new leaves.
+            if len(self._roots) > self._full_slices:
+                self._roots.pop()
+            if self.config.keep_digests and len(self._slice_digests) > self._full_slices:
+                self._slice_digests.pop()
+            self._tail_done = False
         try:
             self._pending.push(np.asarray(data, np.uint8), np.asarray(offsets), np.asarray(lengths))
             self._count += int(lengths.size)
