@@ -109,6 +109,13 @@ def test_backpressure_bound(rng):
     assert e.Root() == oracle.merkle_root(leaves).hex()
 
 
+def test_batch_larger_than_slack_rejected():
+    """batch_leaves beyond the slice slack region would let quantization
+    padding clamp-and-corrupt the digest buffer; construction must refuse."""
+    with pytest.raises(ValueError, match="slack"):
+        TpuSha256D(name="t", config=EngineConfig(batch_leaves=1 << 18))
+
+
 def test_oversized_leaf_rejected():
     from vk_merkle_roots_tpu.constants import MAX_LEAF_BYTES
 

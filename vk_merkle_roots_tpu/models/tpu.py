@@ -107,6 +107,14 @@ class TpuSha256D(Sha256dEngine):
     def __init__(self, name: str | None = None, config: EngineConfig | None = None) -> None:
         jax = _jax()
         self.config = config or EngineConfig()
+        if self.config.batch_leaves > (1 << _SLACK_LOG2):
+            # The slack region absorbs one flushed chunk's quantization
+            # padding; a larger batch would make dynamic_update_slice clamp
+            # its offset and silently corrupt earlier digest rows.
+            raise ValueError(
+                f"batch_leaves={self.config.batch_leaves} exceeds the slice "
+                f"slack region (2^{_SLACK_LOG2}); use more, smaller batches"
+            )
         device = jax.devices()[0]
         super().__init__(name or device.device_kind)
         self._jnp = jax.numpy
