@@ -78,3 +78,10 @@ def test_cli_journal_roundtrip(tmp_path):
     root_b = b.stdout.decode().split("=> ")[1].split(" ")[0]
     assert "Resuming from journal: 3 slice(s)" in b.stderr.decode()
     assert root_a == root_b
+
+    # Resuming with a mismatched --slice-log2 must honor the journal's own
+    # slice height (silently changing tree shape would change the root).
+    c = _run_cli(["XLA", "--slice-log2", "8", "--journal", journal], stream)
+    assert c.returncode == 0, c.stderr.decode()
+    assert "slice_log2=6; resuming with that" in c.stderr.decode()
+    assert c.stdout.decode().split("=> ")[1].split(" ")[0] == root_a

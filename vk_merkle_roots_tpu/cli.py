@@ -202,13 +202,31 @@ def main(argv=None) -> int:
             return 1
         if os.path.exists(args.journal):
             roots = []
+            per_slice = None
             with open(args.journal) as fh:
                 for line in fh:
                     rec = json.loads(line)
                     roots.append(bytes.fromhex(rec["root"]))
+                    n = int(rec.get("leaves", 1 << config.slice_log2))
+                    if per_slice is None:
+                        per_slice = n
+                    elif per_slice != n:
+                        print("journal has inconsistent slice sizes", file=sys.stderr)
+                        return 1
             if roots:
+                if per_slice != (1 << config.slice_log2):
+                    # The journaled roots cover per_slice-leaf subtrees; the
+                    # resumed engine must keep slicing at that same height or
+                    # the merged tree changes shape.
+                    print(
+                        f"journal was written with slice_log2="
+                        f"{per_slice.bit_length() - 1}; resuming with that",
+                        file=sys.stderr,
+                    )
+                    config.slice_log2 = per_slice.bit_length() - 1
+                    engine = registry.Get(name, config)
                 engine.PreloadSliceRoots(roots)
-                skip_leaves = len(roots) * (1 << config.slice_log2)
+                skip_leaves = len(roots) * per_slice
                 print(
                     f"Resuming from journal: {len(roots)} slice(s), "
                     f"skipping {skip_leaves} leaf/leaves",
