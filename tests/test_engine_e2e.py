@@ -109,6 +109,26 @@ def test_backpressure_bound(rng):
     assert e.Root() == oracle.merkle_root(leaves).hex()
 
 
+def test_long_leaves_route_to_host_hasher(rng):
+    """Leaves beyond device_max_blocks hash on the host but land in stream
+    order; the root must match the oracle exactly."""
+    small = random_leaves(rng, 40, maxlen=100)
+    big = [rng.integers(0, 256, size=int(n), dtype=np.uint8).tobytes()
+           for n in (600, 5_000, 70_000)]
+    # Interleave: big leaves at positions 5, 20, 35.
+    leaves = small[:5] + big[:1] + small[5:20] + big[1:2] + small[20:35] + big[2:] + small[35:]
+    e = _tpu_engine(slice_log2=5, batch_leaves=16)
+    assert e.AddMany(leaves)
+    assert e.Root() == oracle.merkle_root(leaves).hex()
+
+
+def test_all_leaves_long(rng):
+    leaves = [rng.integers(0, 256, size=1000, dtype=np.uint8).tobytes() for _ in range(10)]
+    e = _tpu_engine()
+    assert e.AddMany(leaves)
+    assert e.Root() == oracle.merkle_root(leaves).hex()
+
+
 def test_batch_larger_than_slack_rejected():
     """batch_leaves beyond the slice slack region would let quantization
     padding clamp-and-corrupt the digest buffer; construction must refuse."""

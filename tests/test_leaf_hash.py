@@ -44,6 +44,40 @@ def test_order_restored_across_buckets(rng):
     _check(leaves)
 
 
+def test_host_routed_long_leaves_keep_order(rng):
+    """max_device_blocks splits work between device buckets and the host
+    SHA path; digests must still come back in input order, byte-exact."""
+    from vk_merkle_roots_tpu.packing import pack_spans
+
+    leaves = []
+    for i in range(25):
+        n = [20, 100, 700, 3000][i % 4]  # nblocks 1, 2, 12, 48
+        leaves.append(rng.integers(0, 256, n, np.uint8).tobytes())
+    lengths = np.array([len(x) for x in leaves], np.int64)
+    offsets = np.concatenate(([0], np.cumsum(lengths)[:-1]))
+    data = np.frombuffer(b"".join(leaves), np.uint8)
+    packed = pack_spans(data, offsets, lengths, max_device_blocks=8)
+    assert packed.host_spans is not None
+    assert {b.nblocks for b in packed.buckets} == {1, 2}
+    digs = np.asarray(leaf_hashes(packed, backend="xla"))[: packed.count]
+    for i, leaf in enumerate(leaves):
+        assert words_to_digest(digs[i]) == oracle.leaf_hash(leaf), f"leaf {i}"
+
+
+def test_all_host_routed(rng):
+    from vk_merkle_roots_tpu.packing import pack_spans
+
+    leaves = [rng.integers(0, 256, 1000, np.uint8).tobytes() for _ in range(5)]
+    lengths = np.array([len(x) for x in leaves], np.int64)
+    offsets = np.concatenate(([0], np.cumsum(lengths)[:-1]))
+    data = np.frombuffer(b"".join(leaves), np.uint8)
+    packed = pack_spans(data, offsets, lengths, max_device_blocks=8)
+    assert not packed.buckets and packed.host_spans is not None
+    digs = np.asarray(leaf_hashes(packed, backend="xla"))[: packed.count]
+    for i, leaf in enumerate(leaves):
+        assert words_to_digest(digs[i]) == oracle.leaf_hash(leaf)
+
+
 def test_quantized_output_rows(rng):
     leaves = random_leaves(rng, 70, maxlen=30)
     packed = pack_leaves(leaves)

@@ -34,6 +34,12 @@ class EngineConfig:
     batch_bytes: int = 64 << 20
     backend: str = "auto"
     max_slices_in_flight: int = 8
+    # Per-leaf message-block bound for device hashing; longer leaves hash on
+    # the host (SHA-NI/hashlib).  One message is a serial block chain — no
+    # device parallelism exists to win — and bounding it bounds both Mosaic
+    # kernel size (compile time scales with the unrolled block loop) and the
+    # number of distinct kernel shapes a mixed-length stream can create.
+    device_max_blocks: int = 8
     # Retain materialized slice digests so authentication paths (Merkle
     # proofs) can be generated after Root() — the reference lists proofs as
     # unimplemented future work (README.md:118-120).  Costs 32 B/leaf host

@@ -2,8 +2,8 @@
 
 Replaces the reference's byte-at-a-time ``fgetc`` reader
 (``/root/reference/src/vkmr/Inputs.cpp:75-101`` — a known host bottleneck)
-with chunked binary reads split by newline in vectorized NumPy; a C++ fast
-path (``native/ingest.cpp``) is used when built.  Line semantics match the
+with chunked binary reads split by newline in vectorized NumPy (fast enough
+that packing/hashing, not ingest, bound the host).  Line semantics match the
 reference exactly: lines are newline-separated, a trailing fragment without
 a final newline is still a line, empty lines are surfaced so the caller can
 warn and skip them (Vkmr.cpp:40-43).

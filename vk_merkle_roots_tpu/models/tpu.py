@@ -255,7 +255,7 @@ class TpuSha256D(Sha256dEngine):
         chunks = self._pending.pop(take)
         append = _append_fn()
         for data, offs, lens in chunks:
-            packed = pack_spans(data, offs, lens)
+            packed = pack_spans(data, offs, lens, self.config.device_max_blocks)
             t_pack = sw.Elapsed()
             self.times.add("pack", t_pack, int(lens.sum()))
             sw.Start()

@@ -90,6 +90,31 @@ def _bucket_hashes(words, nblocks: int, use_pallas: bool, interpret: bool):
     return out.transpose(0, 2, 3, 1).reshape(-1, 8)[:n]
 
 
+def _host_leaf_digest_words(data, offsets, lengths) -> np.ndarray:
+    """SHA-256d digest words of long leaves on the host (native SHA-NI when
+    built, hashlib otherwise), row-quantized like the device buckets.  One
+    message is a serial block chain, so the host hardware-SHA path is the
+    honest fast path for rare long leaves; see packing.pack_spans."""
+    import hashlib
+
+    from ..native.lib import native_leaf_hashes_spans
+
+    n = int(lengths.size)
+    out = native_leaf_hashes_spans(data, offsets, lengths)
+    if out is None:
+        out = np.empty((n, 32), np.uint8)
+        for i in range(n):
+            span = data[int(offsets[i]) : int(offsets[i]) + int(lengths[i])].tobytes()
+            out[i] = np.frombuffer(
+                hashlib.sha256(hashlib.sha256(span).digest()).digest(), np.uint8
+            )
+    words = out.view(">u4").astype(np.uint32).reshape(n, 8)
+    rows = _quantized_rows(n)
+    if rows != n:
+        words = np.concatenate([words, np.zeros((rows - n, 8), np.uint32)])
+    return words
+
+
 def _quantized_rows(n: int) -> int:
     """Pad bucket row counts to the next power of two (>= 64) so compiled
     kernels are shared across batches instead of recompiling per exact
@@ -119,6 +144,7 @@ def leaf_hashes(packed: PackedLeaves, backend: str = "auto", device=None) -> jax
 
     parts = []
     bases = []  # padded-concat row of each bucket's first real row
+    counts = []  # real rows per part
     base = 0
     for b in packed.buckets:
         rows = _quantized_rows(b.count)
@@ -128,7 +154,13 @@ def leaf_hashes(packed: PackedLeaves, backend: str = "auto", device=None) -> jax
             words[: b.count] = b.words
         parts.append(_bucket_hashes(_put(words), b.nblocks, use_pallas, interpret))
         bases.append(base)
+        counts.append(b.count)
         base += rows
+    if packed.host_spans is not None:
+        parts.append(_put(_host_leaf_digest_words(*packed.host_spans)))
+        bases.append(base)
+        counts.append(int(packed.host_spans[2].size))
+        base += parts[-1].shape[0]
     if len(parts) == 1:
         cat = parts[0]
         if np.array_equal(packed.inverse_order, np.arange(packed.count)):
@@ -138,7 +170,7 @@ def leaf_hashes(packed: PackedLeaves, backend: str = "auto", device=None) -> jax
     # Map unpadded concat rows -> padded concat rows, then restore input
     # order; the gather index is itself padded to a quantized length.
     u2p = np.concatenate(
-        [np.arange(b.count, dtype=np.int64) + bases[i] for i, b in enumerate(packed.buckets)]
+        [np.arange(c, dtype=np.int64) + bases[i] for i, c in enumerate(counts)]
     )
     idx = u2p[packed.inverse_order]
     out_rows = _quantized_rows(packed.count)

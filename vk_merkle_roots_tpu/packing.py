@@ -41,6 +41,10 @@ class PackedLeaves:
     inverse_order: np.ndarray  # bucket-concat row holding original leaf i
     count: int
     total_bytes: int  # payload bytes (pre-padding)
+    # Long leaves routed to the host hasher (see pack_spans
+    # ``max_device_blocks``): (data, offsets, lengths) spans, ordered after
+    # every device bucket in the concat that ``order`` indexes.
+    host_spans: tuple[np.ndarray, np.ndarray, np.ndarray] | None = None
 
 
 def split_lines(buffer: np.ndarray | bytes) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -64,9 +68,19 @@ def split_lines(buffer: np.ndarray | bytes) -> tuple[np.ndarray, np.ndarray, np.
 
 
 def pack_spans(
-    data: np.ndarray, offsets: np.ndarray, lengths: np.ndarray
+    data: np.ndarray,
+    offsets: np.ndarray,
+    lengths: np.ndarray,
+    max_device_blocks: int | None = None,
 ) -> PackedLeaves:
-    """Pack leaves given as (offset, length) spans over one u8 buffer."""
+    """Pack leaves given as (offset, length) spans over one u8 buffer.
+
+    ``max_device_blocks`` bounds the per-leaf message-block count sent to the
+    device: longer leaves become ``host_spans`` and are hashed by the host
+    SHA-256 (one message is a serial block chain — there is no parallelism
+    to win on any device; the reference likewise runs one shader invocation
+    per string however long, SHA-256.comp:207-285).  Bounding it also bounds
+    how many distinct kernel shapes a mixed-length stream can compile."""
     data = np.ascontiguousarray(data, dtype=np.uint8)
     offsets = np.asarray(offsets, dtype=np.int64)
     lengths = np.asarray(lengths, dtype=np.int64)
@@ -82,9 +96,17 @@ def pack_spans(
         native_pack_bucket = None
 
     nblocks = (lengths + 9 + BLOCK_BYTES - 1) // BLOCK_BYTES
+    host_spans = None
+    host_idx = np.zeros(0, np.int64)
+    device_blocks = np.unique(nblocks)
+    if max_device_blocks is not None:
+        host_idx = np.flatnonzero(nblocks > max_device_blocks)
+        if host_idx.size:
+            host_spans = (data, offsets[host_idx], lengths[host_idx])
+            device_blocks = device_blocks[device_blocks <= max_device_blocks]
     buckets: list[Bucket] = []
     order_parts: list[np.ndarray] = []
-    for b in np.unique(nblocks):
+    for b in device_blocks:
         idx = np.flatnonzero(nblocks == b)
         lens = lengths[idx]
         offs = offsets[idx]
@@ -111,10 +133,14 @@ def pack_spans(
         buckets.append(Bucket(int(b), words, int(idx.size)))
         order_parts.append(idx)
 
+    if host_spans is not None:
+        order_parts.append(host_idx)
     order = np.concatenate(order_parts)
     inverse_order = np.empty(count, dtype=np.int64)
     inverse_order[order] = np.arange(count, dtype=np.int64)
-    return PackedLeaves(buckets, order, inverse_order, count, int(lengths.sum()))
+    return PackedLeaves(
+        buckets, order, inverse_order, count, int(lengths.sum()), host_spans
+    )
 
 
 def pack_leaves(leaves: list[bytes]) -> PackedLeaves:
