@@ -115,8 +115,13 @@ class TpuSha256D(Sha256dEngine):
                 f"batch_leaves={self.config.batch_leaves} exceeds the slice "
                 f"slack region (2^{_SLACK_LOG2}); use more, smaller batches"
             )
-        device = jax.devices()[0]
-        super().__init__(name or device.device_kind)
+        # Bind the engine to the named device kind, like the reference's
+        # registry vending an Instance for one chosen device
+        # (SHA-256vk.cpp:224-229); first device of that kind, else default.
+        devices = jax.devices()
+        matching = [d for d in devices if name and d.device_kind == name]
+        self._device = matching[0] if matching else devices[0]
+        super().__init__(name or self._device.device_kind)
         self._jnp = jax.numpy
         self._cap = 1 << self.config.slice_log2
         self._buf = None  # allocated lazily: (cap + slack, 8) uint32
@@ -227,13 +232,16 @@ class TpuSha256D(Sha256dEngine):
 
     def _ensure_buf(self):
         if self._buf is None:
-            self._buf = self._jnp.zeros((self._cap + (1 << _SLACK_LOG2), 8), self._jnp.uint32)
+            self._buf = _jax().device_put(
+                self._jnp.zeros((self._cap + (1 << _SLACK_LOG2), 8), self._jnp.uint32),
+                self._device,
+            )
 
     def _hash_packed(self, packed):
         """Leaf-hash one packed batch (hook for multi-device engines)."""
         from ..ops.leaf_hash import leaf_hashes
 
-        return leaf_hashes(packed, self.config.backend)
+        return leaf_hashes(packed, self.config.backend, device=self._device)
 
     def _reduce_full_slice(self, digests):
         """Reduce one full slice to its root (hook for multi-device
@@ -367,6 +375,7 @@ class TpuSha256D(Sha256dEngine):
         return {
             "leaves": self._count,
             "bytes": self._bytes,
-            "slices_completed": len(self._roots),
+            "slices_completed": self._full_slices,
+            "device": str(getattr(self, "_device", "")),
             "stages": self.times.summary(),
         }
