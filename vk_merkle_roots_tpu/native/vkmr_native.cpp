@@ -148,6 +148,54 @@ void compress_block_shani(uint32_t state[8], const uint32_t block[16]) {
   _mm_storeu_si128(reinterpret_cast<__m128i*>(&state[0]), abcd);
   _mm_storeu_si128(reinterpret_cast<__m128i*>(&state[4]), efgh);
 }
+// Two-message interleaved form: sha256rnds2 has multi-cycle latency on a
+// serial chain; two independent messages in flight roughly double per-core
+// throughput for bulk work (independent leaves / independent tree pairs).
+__attribute__((target("sha,sse4.1,ssse3")))
+void compress_block_shani_x2(uint32_t sA[8], const uint32_t bA[16],
+                             uint32_t sB[8], const uint32_t bB[16]) {
+  __m128i abcdA = _mm_loadu_si128(reinterpret_cast<const __m128i*>(&sA[0]));
+  __m128i efghA = _mm_loadu_si128(reinterpret_cast<const __m128i*>(&sA[4]));
+  __m128i abcdB = _mm_loadu_si128(reinterpret_cast<const __m128i*>(&sB[0]));
+  __m128i efghB = _mm_loadu_si128(reinterpret_cast<const __m128i*>(&sB[4]));
+  __m128i badcA = _mm_shuffle_epi32(abcdA, 0xB1), hgfeA = _mm_shuffle_epi32(efghA, 0x1B);
+  __m128i badcB = _mm_shuffle_epi32(abcdB, 0xB1), hgfeB = _mm_shuffle_epi32(efghB, 0x1B);
+  __m128i s0A = _mm_alignr_epi8(badcA, hgfeA, 8), s1A = _mm_blend_epi16(hgfeA, badcA, 0xF0);
+  __m128i s0B = _mm_alignr_epi8(badcB, hgfeB, 8), s1B = _mm_blend_epi16(hgfeB, badcB, 0xF0);
+  const __m128i save0A = s0A, save1A = s1A, save0B = s0B, save1B = s1B;
+
+  __m128i mA[4], mB[4];
+  for (int i = 0; i < 4; ++i) {
+    mA[i] = _mm_loadu_si128(reinterpret_cast<const __m128i*>(&bA[4 * i]));
+    mB[i] = _mm_loadu_si128(reinterpret_cast<const __m128i*>(&bB[4 * i]));
+  }
+  auto round4x2 = [&](const __m128i& msgA, const __m128i& msgB, const uint32_t* k4) {
+    const __m128i k = _mm_loadu_si128(reinterpret_cast<const __m128i*>(k4));
+    __m128i tA = _mm_add_epi32(msgA, k), tB = _mm_add_epi32(msgB, k);
+    s1A = _mm_sha256rnds2_epu32(s1A, s0A, tA);
+    s1B = _mm_sha256rnds2_epu32(s1B, s0B, tB);
+    tA = _mm_shuffle_epi32(tA, 0x0E);
+    tB = _mm_shuffle_epi32(tB, 0x0E);
+    s0A = _mm_sha256rnds2_epu32(s0A, s1A, tA);
+    s0B = _mm_sha256rnds2_epu32(s0B, s1B, tB);
+  };
+  for (int i = 0; i < 4; ++i) round4x2(mA[i], mB[i], &kRound[4 * i]);
+  for (unsigned r = 16; r < 64; r += 16) {
+    for (int i = 0; i < 4; ++i) {
+      mA[i] = shani_sched(mA[i], mA[(i + 1) & 3], mA[(i + 2) & 3], mA[(i + 3) & 3]);
+      mB[i] = shani_sched(mB[i], mB[(i + 1) & 3], mB[(i + 2) & 3], mB[(i + 3) & 3]);
+      round4x2(mA[i], mB[i], &kRound[r + 4 * i]);
+    }
+  }
+  s0A = _mm_add_epi32(s0A, save0A); s1A = _mm_add_epi32(s1A, save1A);
+  s0B = _mm_add_epi32(s0B, save0B); s1B = _mm_add_epi32(s1B, save1B);
+  __m128i febaA = _mm_shuffle_epi32(s0A, 0x1B), ghcdA = _mm_shuffle_epi32(s1A, 0xB1);
+  __m128i febaB = _mm_shuffle_epi32(s0B, 0x1B), ghcdB = _mm_shuffle_epi32(s1B, 0xB1);
+  _mm_storeu_si128(reinterpret_cast<__m128i*>(&sA[0]), _mm_blend_epi16(febaA, ghcdA, 0xF0));
+  _mm_storeu_si128(reinterpret_cast<__m128i*>(&sA[4]), _mm_alignr_epi8(ghcdA, febaA, 8));
+  _mm_storeu_si128(reinterpret_cast<__m128i*>(&sB[0]), _mm_blend_epi16(febaB, ghcdB, 0xF0));
+  _mm_storeu_si128(reinterpret_cast<__m128i*>(&sB[4]), _mm_alignr_epi8(ghcdB, febaB, 8));
+}
 #endif  // VKMR_X86
 
 using CompressFn = void (*)(uint32_t[8], const uint32_t[16]);
@@ -168,6 +216,23 @@ const CompressFn g_compress = pick_compress();
 inline void compress_block(uint32_t state[8], const uint32_t block[16]) {
   g_compress(state, block);
 }
+
+void compress_block_x2_fallback(uint32_t sA[8], const uint32_t bA[16],
+                                uint32_t sB[8], const uint32_t bB[16]) {
+  g_compress(sA, bA);
+  g_compress(sB, bB);
+}
+
+using CompressX2Fn = void (*)(uint32_t[8], const uint32_t[16], uint32_t[8], const uint32_t[16]);
+
+CompressX2Fn pick_compress_x2() {
+#ifdef VKMR_X86
+  if (g_compress != compress_block_scalar) return compress_block_shani_x2;
+#endif
+  return compress_block_x2_fallback;
+}
+
+const CompressX2Fn g_compress_x2 = pick_compress_x2();
 
 inline uint32_t load_be32(const uint8_t* p) {
   return (uint32_t(p[0]) << 24) | (uint32_t(p[1]) << 16) | (uint32_t(p[2]) << 8) |
@@ -232,6 +297,66 @@ void node_hash(const uint32_t l[8], const uint32_t r[8], uint32_t out[8]) {
   sha256_of_digest(state, out);
 }
 
+// Two independent node hashes, interleaved to hide rnds2 latency.
+void node_hash_x2(const uint32_t* lA, const uint32_t* rA, uint32_t* outA,
+                  const uint32_t* lB, const uint32_t* rB, uint32_t* outB) {
+  uint32_t blkA[16], blkB[16], stA[8], stB[8];
+  std::memcpy(blkA, lA, 32); std::memcpy(blkA + 8, rA, 32);
+  std::memcpy(blkB, lB, 32); std::memcpy(blkB + 8, rB, 32);
+  std::memcpy(stA, kInit, 32); std::memcpy(stB, kInit, 32);
+  g_compress_x2(stA, blkA, stB, blkB);
+  uint32_t pad[16] = {0};
+  pad[0] = 0x80000000u;
+  pad[15] = 512u;
+  g_compress_x2(stA, pad, stB, pad);
+  uint32_t finA[16] = {0}, finB[16] = {0};
+  std::memcpy(finA, stA, 32); std::memcpy(finB, stB, 32);
+  finA[8] = finB[8] = 0x80000000u;
+  finA[15] = finB[15] = 256u;
+  std::memcpy(stA, kInit, 32); std::memcpy(stB, kInit, 32);
+  g_compress_x2(stA, finA, stB, finB);
+  std::memcpy(outA, stA, 32); std::memcpy(outB, stB, 32);
+}
+
+// Interleaved SHA-256d of two independent byte spans.
+void sha256d_span_x2(const uint8_t* dA, uint64_t lenA, const uint8_t* dB,
+                     uint64_t lenB, uint32_t outA[8], uint32_t outB[8]) {
+  uint8_t tailA[128] = {0}, tailB[128] = {0};
+  const auto prep_tail = [](const uint8_t* d, uint64_t len, uint8_t* tail) -> uint64_t {
+    const uint64_t rem = len % 64;
+    std::memcpy(tail, d + (len - rem), size_t(rem));
+    tail[rem] = 0x80;
+    const uint64_t tail_len = (rem + 9 <= 64) ? 64 : 128;
+    const uint64_t bits = len * 8;
+    for (int i = 0; i < 8; ++i) tail[tail_len - 8 + i] = uint8_t(bits >> (56 - 8 * i));
+    return len / 64 + tail_len / 64;  // total block count
+  };
+  const uint64_t nA = prep_tail(dA, lenA, tailA), nB = prep_tail(dB, lenB, tailB);
+  const auto load_blk = [](const uint8_t* d, uint64_t len, const uint8_t* tail,
+                           uint64_t idx, uint32_t blk[16]) {
+    const uint8_t* p = (idx < len / 64) ? d + 64 * idx : tail + 64 * (idx - len / 64);
+    for (int i = 0; i < 16; ++i) blk[i] = load_be32(p + 4 * i);
+  };
+  uint32_t stA[8], stB[8], blkA[16], blkB[16];
+  std::memcpy(stA, kInit, 32); std::memcpy(stB, kInit, 32);
+  uint64_t iA = 0, iB = 0;
+  while (iA < nA && iB < nB) {
+    load_blk(dA, lenA, tailA, iA++, blkA);
+    load_blk(dB, lenB, tailB, iB++, blkB);
+    g_compress_x2(stA, blkA, stB, blkB);
+  }
+  while (iA < nA) { load_blk(dA, lenA, tailA, iA++, blkA); compress_block(stA, blkA); }
+  while (iB < nB) { load_blk(dB, lenB, tailB, iB++, blkB); compress_block(stB, blkB); }
+  // Second pass of SHA-256d, paired.
+  uint32_t finA[16] = {0}, finB[16] = {0};
+  std::memcpy(finA, stA, 32); std::memcpy(finB, stB, 32);
+  finA[8] = finB[8] = 0x80000000u;
+  finA[15] = finB[15] = 256u;
+  std::memcpy(stA, kInit, 32); std::memcpy(stB, kInit, 32);
+  g_compress_x2(stA, finA, stB, finB);
+  std::memcpy(outA, stA, 32); std::memcpy(outB, stB, 32);
+}
+
 void digest_words_to_bytes(const uint32_t w[8], uint8_t* out) {
   for (int i = 0; i < 8; ++i) store_be32(out + 4 * i, w[i]);
 }
@@ -245,15 +370,24 @@ void digest_bytes_to_words(const uint8_t* in, uint32_t w[8]) {
 extern "C" {
 
 // SHA-256d of every (offset,length) span; out = n * 32 bytes of digests.
-// Leaves are independent, so the loop parallelizes across cores.
+// Leaves are independent: pairs interleave in-core (x2 SHA-NI streams) and
+// the pair loop parallelizes across cores.
 void vkmr_leaf_hashes(const uint8_t* data, const int64_t* offsets,
                       const int64_t* lengths, int64_t n, uint8_t* out) {
-#pragma omp parallel for schedule(dynamic, 256)
-  for (int64_t i = 0; i < n; ++i) {
+#pragma omp parallel for schedule(dynamic, 128)
+  for (int64_t p = 0; p < n / 2; ++p) {
+    const int64_t i = 2 * p;
+    uint32_t dA[8], dB[8];
+    sha256d_span_x2(data + offsets[i], uint64_t(lengths[i]),
+                    data + offsets[i + 1], uint64_t(lengths[i + 1]), dA, dB);
+    digest_words_to_bytes(dA, out + 32 * i);
+    digest_words_to_bytes(dB, out + 32 * (i + 1));
+  }
+  if (n & 1) {
     uint32_t d1[8], d2[8];
-    sha256_span(data + offsets[i], uint64_t(lengths[i]), d1);
+    sha256_span(data + offsets[n - 1], uint64_t(lengths[n - 1]), d1);
     sha256_of_digest(d1, d2);
-    digest_words_to_bytes(d2, out + 32 * i);
+    digest_words_to_bytes(d2, out + 32 * (n - 1));
   }
 }
 
@@ -272,10 +406,16 @@ int vkmr_merkle_root(const uint8_t* digests, int64_t n, int32_t height,
     const int64_t pairs = (count + 1) / 2;
     std::vector<uint32_t> next(size_t(pairs) * 8);
 #pragma omp parallel for schedule(static) if (pairs >= 2048)
-    for (int64_t i = 0; i < pairs; ++i) {
-      const uint32_t* l = &level[size_t(2 * i) * 8];
-      const uint32_t* r = (2 * i + 1 < count) ? &level[size_t(2 * i + 1) * 8] : l;
-      node_hash(l, r, &next[size_t(i) * 8]);
+    for (int64_t i = 0; i < pairs; i += 2) {
+      const uint32_t* lA = &level[size_t(2 * i) * 8];
+      const uint32_t* rA = (2 * i + 1 < count) ? &level[size_t(2 * i + 1) * 8] : lA;
+      if (i + 1 < pairs) {
+        const uint32_t* lB = &level[size_t(2 * i + 2) * 8];
+        const uint32_t* rB = (2 * i + 3 < count) ? &level[size_t(2 * i + 3) * 8] : lB;
+        node_hash_x2(lA, rA, &next[size_t(i) * 8], lB, rB, &next[size_t(i + 1) * 8]);
+      } else {
+        node_hash(lA, rA, &next[size_t(i) * 8]);
+      }
     }
     level.swap(next);
     ++levels_run;
@@ -289,75 +429,6 @@ int vkmr_merkle_root(const uint8_t* digests, int64_t n, int32_t height,
   }
   digest_words_to_bytes(level.data(), out);
   return 0;
-}
-
-// Pack a bucket of n leaves (all padding to `nblocks` 64-byte blocks) into
-// big-endian u32 words: out is n * nblocks * 16 uint32, caller-zeroed or
-// not (fully overwritten here).  Layout matches packing.pack_spans.
-void vkmr_pack_bucket(const uint8_t* data, const int64_t* offsets,
-                      const int64_t* lengths, int64_t n, int32_t nblocks,
-                      uint32_t* out) {
-  const int64_t words_per = int64_t(nblocks) * 16;
-  const int64_t pitch_bytes = int64_t(nblocks) * 64;
-#pragma omp parallel
-  {
-    std::vector<uint8_t> row(static_cast<size_t>(pitch_bytes), 0);
-#pragma omp for schedule(dynamic, 512)
-    for (int64_t i = 0; i < n; ++i) {
-      const int64_t len = lengths[i];
-      std::memset(row.data(), 0, size_t(pitch_bytes));
-      std::memcpy(row.data(), data + offsets[i], size_t(len));
-      row[size_t(len)] = 0x80;
-      const uint64_t bits = uint64_t(len) * 8;
-      for (int i2 = 0; i2 < 8; ++i2)
-        row[size_t(pitch_bytes - 8 + i2)] = uint8_t(bits >> (56 - 8 * i2));
-      uint32_t* orow = out + i * words_per;
-      for (int64_t wIdx = 0; wIdx < words_per; ++wIdx)
-        orow[wIdx] = load_be32(row.data() + 4 * wIdx);
-    }
-  }
-}
-
-// glibc-compatible TYPE_3 additive-feedback rand(), reimplemented from the
-// published algorithm (same stream as the reference's rndm built against
-// glibc).  Fills `out` with `count` newline-terminated printable strings;
-// returns the number of bytes written, or -1 if `cap` would overflow.
-int64_t vkmr_rndm_stream(uint32_t seed, int64_t count, int32_t maxlen,
-                         uint8_t* out, int64_t cap) {
-  if (maxlen < 2) return -2;
-  int32_t r[344];
-  if (seed == 0) seed = 1;
-  r[0] = int32_t(seed);
-  for (int i = 1; i < 31; ++i) {
-    // 16807 * r[i-1] % 2147483647 via Schrage, C truncating division.
-    const int64_t hi = r[i - 1] / 127773;
-    const int64_t lo = r[i - 1] % 127773;
-    int64_t word = 16807 * lo - 2836 * hi;
-    if (word < 0) word += 2147483647;
-    r[i] = int32_t(word);
-  }
-  for (int i = 31; i < 34; ++i) r[i] = r[i - 31];
-  uint32_t ring[31];
-  for (int i = 0; i < 31; ++i) ring[i] = uint32_t(r[i + 3]);
-  // Discard the first 310 outputs (i = 34 .. 343).
-  int pos = 0;
-  auto next_rand = [&]() -> uint32_t {
-    const uint32_t v = ring[pos] + ring[(pos + 28) % 31];
-    ring[pos] = v;
-    pos = (pos + 1) % 31;
-    return v >> 1;
-  };
-  for (int i = 34; i < 344; ++i) (void)next_rand();
-
-  int64_t written = 0;
-  for (int64_t s = 0; s < count; ++s) {
-    const int32_t len = 1 + int32_t(next_rand() % uint32_t(maxlen - 1));
-    if (written + len + 1 > cap) return -1;
-    for (int32_t k = 0; k < len; ++k)
-      out[written++] = uint8_t(32 + next_rand() % 94u);
-    out[written++] = '\n';
-  }
-  return written;
 }
 
 // ABI/version probe for the ctypes loader.
