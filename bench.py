@@ -245,6 +245,26 @@ def bench_host_pack(n_leaves: int = 1 << 18, maxlen: int = 1024):
     return int(lens.sum()) / sec / 1e6  # MB/s
 
 
+def bench_cpu_engine(n_leaves: int = 1 << 18, leaf_bytes: int = 127):
+    """Native CPU engine leaf-hash rate (SHA-NI x2 when available) — the
+    reference's serial CPU engine is the comparison point (SURVEY.md §2.1
+    row 5)."""
+    from vk_merkle_roots_tpu.native.lib import native_available, native_leaf_hashes_spans
+
+    if not native_available():
+        return 0.0
+    rng = np.random.default_rng(6)
+    data = rng.integers(0, 256, size=n_leaves * leaf_bytes, dtype=np.uint8)
+    offs = np.arange(n_leaves, dtype=np.int64) * leaf_bytes
+    lens = np.full(n_leaves, leaf_bytes, np.int64)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        native_leaf_hashes_spans(data, offs, lens)
+        best = min(best, time.perf_counter() - t0)
+    return n_leaves / best / 1e6  # Mh/s
+
+
 def bench_scaling(mesh_sizes=None, n_leaves_per_dev: int = 1 << 16, leaf_bytes: int = 64):
     """Sharded-root throughput at increasing mesh sizes (BASELINE.json's
     scaling-efficiency config).  Uses every local device; on a single-chip
@@ -347,6 +367,7 @@ def main():
             "stream_pipeline_GBps_4x2^20x127B": round(stream_gbps, 3),
             "stream_pipeline_leaves_per_sec": round(stream_leaves),
             "host_pack_MBps_varlen": round(pack_mbps, 1),
+            "cpu_engine_Mhps_127B": round(bench_cpu_engine(), 1),
             "backend": __import__("jax").default_backend(),
         },
     }

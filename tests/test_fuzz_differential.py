@@ -20,6 +20,13 @@ def test_randomized_stream_all_engines_agree(trial):
         rng.integers(0, 256, size=int(rng.integers(1, maxlen)), dtype=np.uint8).tobytes()
         for _ in range(n)
     ]
+    # Sprinkle in host-routed long leaves (> device_max_blocks) on some
+    # trials so the device/host split is fuzzed too.
+    if trial % 2:
+        for i in rng.integers(0, n, size=3):
+            leaves[int(i)] = rng.integers(
+                0, 256, size=int(rng.integers(600, 4000)), dtype=np.uint8
+            ).tobytes()
     want = oracle.merkle_root(leaves).hex()
 
     cpu = CpuSha256D()
