@@ -120,6 +120,27 @@ def test_shani_and_scalar_paths_agree(rng, tmp_path):
     assert out.stdout == root_here.hex()
 
 
+def test_standalone_native_cli(rng, tmp_path):
+    """The zero-Python vkmr-cpu binary agrees with the oracle on a stream
+    with empty lines and a trailing fragment."""
+    import os
+    import subprocess
+
+    d = os.path.join(os.path.dirname(nl.__file__))
+    r = subprocess.run(["make", "-C", d, "-s", "vkmr-cpu"], capture_output=True, timeout=120)
+    if r.returncode != 0:
+        pytest.skip(f"native CLI build unavailable: {r.stderr.decode()[:200]}")
+    leaves = random_leaves(rng, 50, maxlen=60)
+    leaves = [x.replace(b"\n", b"x") or b"y" for x in leaves]
+    stream = b"\n\n".join(leaves)  # empty line between every pair, no trailing \n
+    out = subprocess.run(
+        [os.path.join(d, "vkmr-cpu")], input=stream, capture_output=True, timeout=120
+    )
+    assert out.returncode == 0
+    root = out.stdout.decode().split("=> ")[1].split(" ")[0]
+    assert root == oracle.merkle_root(leaves).hex()
+
+
 def test_packing_native_vs_numpy_fallback(rng, monkeypatch):
     leaves = random_leaves(rng, 60, maxlen=150)
     with_native = pack_leaves(leaves)
