@@ -27,6 +27,9 @@ class CpuSha256D(Sha256dEngine):
         return True
 
     def AddMany(self, leaves) -> bool:
+        leaves = list(leaves)
+        if any(len(x) > MAX_LEAF_BYTES for x in leaves):
+            return False
         try:
             from ..native.lib import native_leaf_hashes
 
