@@ -79,6 +79,23 @@ def test_cli_journal_roundtrip(tmp_path):
     assert "Resuming from journal: 3 slice(s)" in b.stderr.decode()
     assert root_a == root_b
 
+    # A journal that covers the ENTIRE stream must still print the root on
+    # rerun (count used to exclude skipped leaves, so nothing printed).
+    full = b"".join(bytes([65 + i % 26]) * 5 + b"\n" for i in range(128))
+    j2 = str(tmp_path / "full.jsonl")
+    d = _run_cli(["XLA", "--slice-log2", "6", "--journal", j2], full)
+    root_d = d.stdout.decode().split("=> ")[1].split(" ")[0]
+    e = _run_cli(["XLA", "--slice-log2", "6", "--journal", j2], full)
+    assert e.returncode == 0, e.stderr.decode()
+    assert "Resuming from journal: 2 slice(s)" in e.stderr.decode()
+    assert f"(of 128 item(s), 640 byte(s)) => {root_d}" in e.stdout.decode()
+
+    # Corrupt slice sizes are rejected cleanly.
+    j3 = tmp_path / "bad.jsonl"
+    j3.write_text('{"slice": 0, "leaves": 96, "root": "' + "00" * 32 + '"}\n')
+    f = _run_cli(["XLA", "--slice-log2", "6", "--journal", str(j3)], full)
+    assert f.returncode == 1 and b"not a power of two" in f.stderr
+
     # Resuming with a mismatched --slice-log2 must honor the journal's own
     # slice height (silently changing tree shape would change the root).
     c = _run_cli(["XLA", "--slice-log2", "8", "--journal", journal], stream)

@@ -40,7 +40,18 @@ def test_unknown_engine_raises():
 def test_has():
     assert registry.Has("CPU")
     assert not registry.Has("NoSuchThing")
-    # Has and Get must agree on the TPU alias: it is present exactly when a
-    # real accelerator kind is (MESH on a multi-device CPU host must not
-    # inflate it).
-    assert registry.Has("TPU") == bool(registry._accelerators(registry.Available()))
+    # Has("TPU") must not be inflated by MESH/XLA rows on an accelerator-free
+    # host (it used to key off len(Available()) > 2): pin Available to the
+    # multi-device CPU shape and check both Has and Get agree it's absent.
+    import pytest
+
+    monkeypatch = pytest.MonkeyPatch()
+    try:
+        monkeypatch.setattr(registry, "Available", lambda: ["CPU", "XLA", "MESH"])
+        assert not registry.Has("TPU")
+        with pytest.raises(KeyError):
+            registry.Get("TPU")
+        monkeypatch.setattr(registry, "Available", lambda: ["CPU", "TPU v5 lite", "XLA"])
+        assert registry.Has("TPU")
+    finally:
+        monkeypatch.undo()

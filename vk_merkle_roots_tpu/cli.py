@@ -59,8 +59,12 @@ def run(
             offs, lens = offs[nonempty], lens[nonempty]
         if skipped < skip_leaves and lens.size:
             # Resuming from a journal: drop leaves already folded into
-            # journaled slice roots.
+            # journaled slice roots.  They still count toward the stream
+            # totals — the engine's tree covers them — so a fully-journaled
+            # rerun prints the same summary line as the original run.
             drop = min(skip_leaves - skipped, int(lens.size))
+            count += drop
+            size += int(lens[:drop].sum())
             offs, lens = offs[drop:], lens[drop:]
             skipped += drop
         if lens.size == 0:
@@ -190,7 +194,13 @@ def main(argv=None) -> int:
     print(f"Initializing for: {name}")
     if name != "CPU":
         enable_persistent_cache()
-    engine = registry.Get(name, config)
+    try:
+        engine = registry.Get(name, config)
+    except (ValueError, KeyError) as exc:
+        # Bad tuning flags (e.g. --batch-leaves beyond the slack region)
+        # get the same clean one-line diagnostic as every other CLI error.
+        print(f"error: {exc}", file=sys.stderr)
+        return 1
 
     skip_leaves = 0
     if args.journal:
@@ -208,6 +218,9 @@ def main(argv=None) -> int:
                     rec = json.loads(line)
                     roots.append(bytes.fromhex(rec["root"]))
                     n = int(rec.get("leaves", 1 << config.slice_log2))
+                    if n <= 0 or n & (n - 1):
+                        print(f"journal slice size {n} is not a power of two", file=sys.stderr)
+                        return 1
                     if per_slice is None:
                         per_slice = n
                     elif per_slice != n:

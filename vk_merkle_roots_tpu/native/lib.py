@@ -36,8 +36,18 @@ def _load():
         lib = ctypes.CDLL(_SO)
     except OSError:
         return None
-    if lib.vkmr_native_abi() != 1:
-        return None
+    if lib.vkmr_native_abi() != 2:
+        # Stale build: try one rebuild, else degrade to pure Python.
+        try:
+            subprocess.run(
+                ["make", "-C", _DIR, "-s", "clean", "all"],
+                check=True, capture_output=True, timeout=120,
+            )
+            lib = ctypes.CDLL(_SO)
+        except Exception:
+            return None
+        if lib.vkmr_native_abi() != 2:
+            return None
     u8p = ctypes.POINTER(ctypes.c_uint8)
     i64p = ctypes.POINTER(ctypes.c_int64)
     u32p = ctypes.POINTER(ctypes.c_uint32)

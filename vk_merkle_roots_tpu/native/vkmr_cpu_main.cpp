@@ -54,6 +54,12 @@ int main() {
       line_start = end + 1;
     }
   }
+  if (ferror(stdin)) {
+    // A truncated stream must not print a confident (wrong) root.
+    fprintf(stderr, "stdin read error after %llu byte(s)\n",
+            static_cast<unsigned long long>(data.size()));
+    return 1;
+  }
   if (int64_t(data.size()) > line_start) {  // trailing fragment is a line
     offsets.push_back(line_start);
     lengths.push_back(int64_t(data.size()) - line_start);

@@ -95,8 +95,7 @@ def _host_leaf_digest_words(data, offsets, lengths) -> np.ndarray:
     built, hashlib otherwise), row-quantized like the device buckets.  One
     message is a serial block chain, so the host hardware-SHA path is the
     honest fast path for rare long leaves; see packing.pack_spans."""
-    import hashlib
-
+    from .. import oracle
     from ..native.lib import native_leaf_hashes_spans
 
     n = int(lengths.size)
@@ -105,9 +104,9 @@ def _host_leaf_digest_words(data, offsets, lengths) -> np.ndarray:
         out = np.empty((n, 32), np.uint8)
         for i in range(n):
             span = data[int(offsets[i]) : int(offsets[i]) + int(lengths[i])].tobytes()
-            out[i] = np.frombuffer(
-                hashlib.sha256(hashlib.sha256(span).digest()).digest(), np.uint8
-            )
+            out[i] = np.frombuffer(oracle.leaf_hash(span), np.uint8)
+    # Digest bytes -> big-endian words, vectorized (hexutil.digest_to_words
+    # row-at-a-time would be quadratic-ish here; same convention).
     words = out.view(">u4").astype(np.uint32).reshape(n, 8)
     rows = _quantized_rows(n)
     if rows != n:
