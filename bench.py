@@ -245,6 +245,67 @@ def bench_host_pack(n_leaves: int = 1 << 18, maxlen: int = 1024):
     return int(lens.sum()) / sec / 1e6  # MB/s
 
 
+def bench_tail_variant(log2n: int = 10):
+    """Fused in-register tail kernel (the subgroup-shuffle analog,
+    SHA-256.comp:307-391) vs XLA per-level tail folds, on one 2^log2n
+    block.  On TPU the fused shape WINS ~120x (26 µs vs 3.1 ms — ten tiny
+    XLA dispatches are latency-bound) and is the default hot-path tail;
+    this mode re-measures both.  Contrast: the reference's own README shows
+    its subgroup variant losing on every listed GPU (README.md:100-108).
+    First Mosaic compile of the fused body takes minutes (cached after)."""
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+
+    from vk_merkle_roots_tpu import oracle
+    from vk_merkle_roots_tpu.ops.tree_reduce import (
+        _bitrev,
+        _tail_reduce_pallas,
+        _tail_reduce_xla,
+    )
+    from vk_merkle_roots_tpu.utils.hexutil import words_to_digest
+
+    interpret = jax.default_backend() != "tpu"
+    if interpret:
+        raise SystemExit(
+            "--tail-variant requires the TPU backend: interpret-mode Pallas "
+            "is orders of magnitude too slow to be meaningful"
+        )
+    n = 1 << log2n
+    rng = np.random.default_rng(4)
+    digs = rng.integers(0, 1 << 32, size=(n, 8), dtype=np.uint32)
+    fold = jnp.asarray(digs[_bitrev(log2n)]).T  # (8, n) bitrev word-major
+
+    # Correctness gate for BOTH variants.
+    want = oracle.merkle_root_of_digests(
+        [words_to_digest(digs[i]) for i in range(n)]
+    )
+    got_fused = words_to_digest(np.asarray(_tail_reduce_pallas(fold, log2n, interpret)))
+    got_xla = words_to_digest(np.asarray(_tail_reduce_xla(fold)))
+    assert got_fused == want and got_xla == want, "tail variant mismatch"
+
+    out = {}
+    for name, fn in (
+        ("fused_pallas", lambda w: _tail_reduce_pallas(w, log2n, interpret)),
+        ("xla_levels", _tail_reduce_xla),
+    ):
+
+        @partial(jax.jit, static_argnums=(1,))
+        def step(w, iters, fn=fn):
+            def body(_, carry):
+                w, acc = carry
+                root = fn(w)
+                w = w.at[0, 0].add(root[0])
+                return (w, acc ^ root[1])
+
+            return jax.lax.fori_loop(0, iters, body, (w, jnp.uint32(0)))
+
+        sec = _timed_loop(step, fold, iters=50)
+        out[name] = {"us_per_block": round(sec * 1e6, 2),
+                     "node_hashes_per_sec": round((n - 1) / sec)}
+    return out
+
+
 def bench_cpu_engine(n_leaves: int = 1 << 18, leaf_bytes: int = 127):
     """Native CPU engine leaf-hash rate (SHA-NI x2 when available) — the
     reference's serial CPU engine is the comparison point (SURVEY.md §2.1
@@ -280,7 +341,7 @@ def bench_scaling(mesh_sizes=None, n_leaves_per_dev: int = 1 << 16, leaf_bytes: 
     sizes = mesh_sizes or [n for n in (1, 2, 4, 8, 16, 32) if n <= ndev_all]
     nblocks = padded_block_count(leaf_bytes)
     rows = []
-    base = None
+    per_device_base = None
     for ndev in sizes:
         n_leaves = n_leaves_per_dev * ndev
         mesh = make_mesh(n_devices=ndev)
@@ -289,21 +350,29 @@ def bench_scaling(mesh_sizes=None, n_leaves_per_dev: int = 1 << 16, leaf_bytes: 
         words = shard_words(
             mesh, rng.integers(0, 1 << 32, size=(n_leaves, nblocks * 16), dtype=np.uint32)
         )
-        _ = np.asarray(fn(words))  # warm/compile
-        times = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            _ = np.asarray(fn(words))
-            times.append(time.perf_counter() - t0)
-        sec = float(np.median(times))
+
+        # Dependent-loop timing with RTT baseline (same discipline as
+        # _timed_loop): a single timed dispatch would mostly measure the
+        # host readback round-trip, not the chips.
+        @partial(jax.jit, static_argnums=(1,))
+        def step(w, iters, fn=fn):
+            def body(_, carry):
+                w, acc = carry
+                root = fn(w)
+                w = w.at[0, 0].add(root[0])
+                return (w, acc ^ root[1])
+
+            return jax.lax.fori_loop(0, iters, body, (w, jnp.uint32(0)))
+
+        sec = _timed_loop(step, words, iters=8)
         leaves_per_s = n_leaves / sec
-        if base is None:
-            base = leaves_per_s
+        if per_device_base is None:
+            per_device_base = leaves_per_s / ndev
         rows.append(
             {
                 "devices": ndev,
                 "leaves_per_sec": round(leaves_per_s),
-                "efficiency": round(leaves_per_s / (base * ndev), 3),
+                "efficiency": round(leaves_per_s / (per_device_base * ndev), 3),
             }
         )
     return rows
@@ -316,6 +385,12 @@ def main():
 
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--scaling", action="store_true", help="mesh-scaling rows instead")
+    parser.add_argument(
+        "--tail-variant",
+        action="store_true",
+        help="fused in-register tail kernel vs XLA level folds (first TPU "
+        "compile of the fused body takes minutes; cached afterwards)",
+    )
     parser.add_argument("--profile", metavar="DIR", default=None, help="write a jax.profiler trace")
     args = parser.parse_args()
 
@@ -323,6 +398,10 @@ def main():
 
     if args.scaling:
         print(json.dumps({"metric": "scaling", "rows": bench_scaling()}))
+        return
+
+    if args.tail_variant:
+        print(json.dumps({"metric": "tail_variant", **bench_tail_variant()}))
         return
 
     if args.profile:

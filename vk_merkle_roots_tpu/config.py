@@ -77,10 +77,11 @@ def enable_persistent_cache(path: str | None = None) -> None:
     precompiled ``.spv`` artifacts play, Shaders.cpp:19-38)."""
     import jax
 
-    if "cpu" in os.environ.get("JAX_PLATFORMS", ""):
+    if jax.default_backend() != "tpu":
         # XLA:CPU AOT cache entries record exact machine features and may
         # SIGILL when loaded on a slightly different host; the cache only
-        # pays for itself on the TPU path anyway.
+        # pays for itself on the TPU path anyway.  Guard on the actual
+        # backend, not the JAX_PLATFORMS env var (frequently unset).
         return
     cache_dir = path or os.environ.get(
         "VKMR_COMPILE_CACHE", os.path.expanduser("~/.cache/vkmr_tpu_jax")

@@ -16,15 +16,20 @@ Design, rethought for TPU:
 * **Big levels** (>= 2 tiles of 1024 digests) are one elementwise Pallas
   launch each — the analog of the reference's per-level dispatch loop
   (Reductions.cpp:299-342), but with zero barriers to manage: XLA owns the
-  hazards.  The **tail** (<= 1024 digests, <= 2047 node hashes — noise) runs
-  as XLA elementwise folds.  A fused in-register tail kernel
-  (``_tail_kernel`` — the TPU counterpart of the subgroup-shuffle subtree
-  shader, SHA-256.comp:307-391, with static sublane/lane splits replacing
-  ``subgroupShuffleDown``) is kept as a benchmark variant: like the
-  reference's subgroup path, which its README shows *losing* to the plain
-  per-level path on every listed GPU (README.md:100-108), it buys nothing
-  here and costs minutes of Mosaic compile time for its deeply unrolled
-  body, so it is not the default.
+  hazards.  The **tail** (the last 10 levels, from 1024 digests down to the
+  root) runs as ONE fused in-register Pallas kernel (``_tail_kernel`` — the
+  TPU counterpart of the subgroup-shuffle subtree shader,
+  SHA-256.comp:307-391, with static sublane/lane splits replacing
+  ``subgroupShuffleDown``).  Unlike the reference's subgroup path, which its
+  README shows *losing* to the plain per-level path on every listed GPU
+  (README.md:100-108), the fused tail WINS decisively on TPU: 26 µs/block
+  vs 3.1 ms for ten separate XLA level folds (measured on v5e — each tiny
+  XLA dispatch costs far more than its 1024 lanes of work).  Only the
+  single 1024-digest tail shape is fused (one Mosaic kernel, minutes to
+  compile once, persistent-cached); sub-tile perfect blocks from ragged
+  decomposition keep the XLA per-level folds, whose latency hides behind
+  the 35 ms host readback they feed anyway.  ``VKMR_TAIL=levels`` restores
+  the XLA tail everywhere (safety valve; also the benchmark baseline).
 * **Odd counts** never reach the device: a ragged (non-power-of-two) slice
   is decomposed into its binary-decomposition blocks — each an aligned,
   perfect subtree reduced on-device — and the <=30 resulting block roots are
@@ -98,17 +103,16 @@ def _fold_level_pallas(x, interpret: bool):
     )(x, x)
 
 
-def _fold_level_xla(x, unroll: bool = False):
-    """(8, n) -> (8, n/2) elementwise fold.  ``unroll`` trades compile time
-    for runtime (unrolled on TPU where the persistent cache amortizes it,
-    rolled on hosts)."""
+def _fold_level_xla(x):
+    """(8, n) -> (8, n/2) elementwise fold (rolled compression: the XLA tail
+    is runtime noise, so graph size matters more than round unrolling)."""
     half = x.shape[1] // 2
     left = tuple(x[j, :half] for j in range(8))
     right = tuple(x[j, half:] for j in range(8))
-    return jnp.stack(sha256_core.node_hash_words(left, right, unroll=unroll), axis=0)
+    return jnp.stack(sha256_core.node_hash_words(left, right, unroll=False), axis=0)
 
 
-_fold_level_xla_jit = jax.jit(_fold_level_xla, static_argnums=(1,))
+_fold_level_xla_jit = jax.jit(_fold_level_xla)
 _fold_level_pallas_jit = jax.jit(_fold_level_pallas, static_argnums=(1,))
 
 
@@ -168,6 +172,13 @@ def _tail_reduce_xla(x):
     return x[:, 0]
 
 
+def _fuse_tail() -> bool:
+    """Fused Pallas tail unless disabled (``VKMR_TAIL=levels``)."""
+    import os
+
+    return os.environ.get("VKMR_TAIL", "fused") != "levels"
+
+
 # ------------------------------------------------------------- orchestration
 
 
@@ -176,9 +187,11 @@ def reduce_bitrev_body(digests_bitrev, log2n: int, use_pallas: bool, interpret: 
     -> (8,) root words.  Usable inside an enclosing jit (fused step).
 
     Pallas handles every level with >= 2 full tiles (where all the hashes
-    are); the sub-tile tail (<= 1024 digests, <= 2047 node hashes — noise)
-    runs as rolled-XLA elementwise folds, which compile in seconds where a
-    10-level fused Mosaic kernel takes minutes.
+    are); the last 10 levels (1024 digests -> root) are one fused Pallas
+    launch — 26 µs vs 3.1 ms for per-level XLA folds (dispatch-latency
+    bound, see module docstring).  Blocks smaller than a tile keep the
+    rolled-XLA folds: no extra multi-minute Mosaic compiles, and their
+    latency hides behind the host readback that consumes them.
     """
     n = 1 << log2n
     x = digests_bitrev.T  # (8, n) word-major
@@ -187,6 +200,8 @@ def reduce_bitrev_body(digests_bitrev, log2n: int, use_pallas: bool, interpret: 
         while tiles.shape[1] >= 2:
             tiles = _fold_level_pallas(tiles, interpret)
         x = tiles.reshape(8, TILE)
+    if use_pallas and not interpret and x.shape[1] == TILE and _fuse_tail():
+        return _tail_reduce_pallas(x, 10, interpret)
     while x.shape[1] > 1:
         x = _fold_level_xla(x)  # rolled: the tail is runtime noise, compile time is not
     return x[:, 0]
@@ -202,8 +217,10 @@ def _reduce_bitrev(digests_bitrev, log2n: int, use_pallas: bool, interpret: bool
         while tiles.shape[1] >= 2:
             tiles = _fold_level_pallas_jit(tiles, interpret)
         x = tiles.reshape(8, TILE)
+    if use_pallas and not interpret and x.shape[1] == TILE and _fuse_tail():
+        return _tail_reduce_pallas(x, 10, interpret)
     while x.shape[1] > 1:
-        x = _fold_level_xla_jit(x, False)
+        x = _fold_level_xla_jit(x)
     return x[:, 0]
 
 
@@ -269,18 +286,26 @@ def slice_root(digests_nat, count: int, height: int, backend: str = "auto") -> b
     digests_nat = jnp.asarray(digests_nat)
     if count == (1 << height):
         return words_to_digest(np.asarray(reduce_perfect_block(digests_nat, height, backend)))
-    # Binary decomposition: aligned perfect blocks of strictly decreasing size.
-    blocks: list[tuple[bytes, int]] = []
+    # Binary decomposition: aligned perfect blocks of strictly decreasing
+    # size.  Dispatch every block's reduction first (async futures), THEN
+    # materialize — otherwise each readback (35 ms RTT through a remote
+    # tunnel) serializes before the next block's dispatch.
+    futures: list[tuple[object, int]] = []
     start = 0
     remaining = count
     while remaining:
         k = remaining.bit_length() - 1
-        root = reduce_perfect_block(
-            jax.lax.dynamic_slice_in_dim(digests_nat, start, 1 << k, axis=0), k, backend
+        futures.append(
+            (
+                reduce_perfect_block(
+                    jax.lax.dynamic_slice_in_dim(digests_nat, start, 1 << k, axis=0), k, backend
+                ),
+                k,
+            )
         )
-        blocks.append((words_to_digest(np.asarray(root)), k))
         start += 1 << k
         remaining -= 1 << k
+    blocks = [(words_to_digest(np.asarray(root)), k) for root, k in futures]
     return _combine_ragged(blocks, height)
 
 
