@@ -102,3 +102,29 @@ def test_cli_journal_roundtrip(tmp_path):
     assert c.returncode == 0, c.stderr.decode()
     assert "slice_log2=6; resuming with that" in c.stderr.decode()
     assert c.stdout.decode().split("=> ")[1].split(" ")[0] == root_a
+
+
+def test_proof_after_resume_guard(rng, tmp_path):
+    """Proof() for a journal-adopted slice must refuse loudly; proofs for
+    slices computed in this process must still verify (ADVICE r1 #1)."""
+    leaves = random_leaves(rng, 200, maxlen=40)
+    cfg = _cfg(tmp_path)
+    e = TpuSha256D(name="jp", config=cfg)
+    e.AddMany(leaves)
+    want = e.Root()
+
+    roots = [bytes.fromhex(json.loads(l)["root"]) for l in open(cfg.journal_path)]
+    e2 = TpuSha256D(
+        name="jp2", config=EngineConfig(slice_log2=6, backend="xla", keep_digests=True)
+    )
+    e2.PreloadSliceRoots(roots)
+    e2.AddMany(leaves[len(roots) * 64 :])
+    assert e2.Root() == want
+
+    # A leaf inside a journaled slice: only the root is known -> refuse.
+    with pytest.raises(RuntimeError, match="resumed from a journal"):
+        e2.Proof(10)
+    # A leaf in a slice computed by this process: full path, verifies.
+    idx = len(roots) * 64 + 3
+    path = e2.Proof(idx)
+    assert oracle.verify_proof(oracle.leaf_hash(leaves[idx]), path).hex() == want

@@ -55,3 +55,19 @@ def test_strm(capsysbinary, monkeypatch):
     assert rc == 0
     out = capsysbinary.readouterr().out
     assert out == b"alpha\nbeta\n"
+
+
+def test_verify_rejects_non_json(tmp_path, capsys):
+    """vkmr-verify on a file whose last line is not a proof record must print
+    one diagnostic and exit 1, not traceback (ADVICE r1 #4)."""
+    from vk_merkle_roots_tpu.tools import verify
+
+    p = tmp_path / "not_proof.txt"
+    p.write_text("CPU: computed root (of 3 item(s), 9 byte(s)) => abc in 1\n")
+    rc = verify.main([str(p), "--leaf-hex", "00"])
+    assert rc == 1
+    assert "not a proof record" in capsys.readouterr().err
+
+    empty = tmp_path / "empty.txt"
+    empty.write_text("")
+    assert verify.main([str(empty), "--leaf-hex", "00"]) == 1

@@ -1,0 +1,102 @@
+"""On-chip differential checks — run only against real TPU hardware.
+
+Gated on ``VKMR_TEST_PLATFORM=tpu`` (tests/conftest.py then leaves
+``JAX_PLATFORMS`` alone so the real backend is used):
+
+    VKMR_TEST_PLATFORM=tpu python -m pytest tests/test_tpu_onchip.py -x -q
+
+These promote the former repo-root scratch probes into the suite: the fused
+in-register tail kernel and the compiled (non-interpret) Pallas mapping /
+fold kernels are validated byte-exactly against the hashlib oracle on the
+compiled path — interpret mode on CPU (the rest of the suite) traces the
+same math but not the Mosaic lowering.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+requires_tpu = pytest.mark.skipif(
+    os.environ.get("VKMR_TEST_PLATFORM") != "tpu",
+    reason="set VKMR_TEST_PLATFORM=tpu to run on-chip kernel checks",
+)
+
+
+@requires_tpu
+def test_backend_is_tpu():
+    import jax
+
+    assert jax.default_backend() == "tpu", (
+        "VKMR_TEST_PLATFORM=tpu but JAX resolved a non-TPU backend; "
+        "unset JAX_PLATFORMS / check the device tunnel"
+    )
+
+
+@requires_tpu
+@pytest.mark.parametrize("log2n", [10, 11, 13])
+def test_perfect_block_on_chip(log2n):
+    from vk_merkle_roots_tpu import oracle
+    from vk_merkle_roots_tpu.ops.tree_reduce import reduce_perfect_block
+    from vk_merkle_roots_tpu.utils.hexutil import words_to_digest
+
+    rng = np.random.default_rng(7)
+    n = 1 << log2n
+    digs = rng.integers(0, 1 << 32, size=(n, 8), dtype=np.uint32)
+    want = oracle.merkle_root_of_digests([words_to_digest(digs[i]) for i in range(n)])
+    got = words_to_digest(np.asarray(reduce_perfect_block(digs, log2n)))
+    assert got == want
+
+
+@requires_tpu
+def test_ragged_slice_on_chip():
+    """Count spanning a fused-tail 1024-block plus XLA-fold small blocks."""
+    from vk_merkle_roots_tpu import oracle
+    from vk_merkle_roots_tpu.ops.tree_reduce import slice_root
+    from vk_merkle_roots_tpu.utils.hexutil import words_to_digest
+
+    rng = np.random.default_rng(8)
+    count, height = 1024 + 300, 11
+    digs = rng.integers(0, 1 << 32, size=(count, 8), dtype=np.uint32)
+    want = oracle.reduce_slice([words_to_digest(digs[i]) for i in range(count)], height)
+    assert slice_root(digs, count, height) == want
+
+
+@requires_tpu
+def test_tail_variants_agree_on_chip():
+    """Fused in-register tail vs XLA per-level folds: identical roots."""
+    import jax.numpy as jnp
+
+    from vk_merkle_roots_tpu import oracle
+    from vk_merkle_roots_tpu.ops.tree_reduce import (
+        _bitrev,
+        _tail_reduce_pallas,
+        _tail_reduce_xla,
+    )
+    from vk_merkle_roots_tpu.utils.hexutil import words_to_digest
+
+    rng = np.random.default_rng(4)
+    digs = rng.integers(0, 1 << 32, size=(1024, 8), dtype=np.uint32)
+    fold = jnp.asarray(digs[_bitrev(10)]).T
+    want = oracle.merkle_root_of_digests([words_to_digest(digs[i]) for i in range(1024)])
+    assert words_to_digest(np.asarray(_tail_reduce_pallas(fold, 10, False))) == want
+    assert words_to_digest(np.asarray(_tail_reduce_xla(fold))) == want
+
+
+@requires_tpu
+def test_mapping_kernel_on_chip():
+    """Compiled Pallas leaf-hash kernel vs hashlib across bucket shapes."""
+    from vk_merkle_roots_tpu import oracle
+    from vk_merkle_roots_tpu.ops.leaf_hash import leaf_hashes
+    from vk_merkle_roots_tpu.packing import pack_leaves
+    from vk_merkle_roots_tpu.utils.hexutil import words_to_digest
+
+    rng = np.random.default_rng(9)
+    leaves = [
+        rng.integers(0, 256, size=int(n), dtype=np.uint8).tobytes()
+        for n in rng.integers(1, 200, size=1500)
+    ]
+    packed = pack_leaves(leaves)
+    digs = np.asarray(leaf_hashes(packed, backend="pallas"))
+    for i, leaf in enumerate(leaves):
+        assert words_to_digest(digs[i]) == oracle.leaf_hash(leaf)

@@ -132,6 +132,7 @@ class TpuSha256D(Sha256dEngine):
         self._bytes = 0
         self._slice_digests: list[np.ndarray] = []  # kept when keep_digests
         self._journaled = 0  # completed-slice roots already written out
+        self._preloaded = 0  # slices adopted from a journal (no digests held)
         self._full_slices = 0  # slices completed at full capacity
         self._tail_done = False  # trailing ragged slice folded into _roots
         self.times = StageTimes()
@@ -147,6 +148,7 @@ class TpuSha256D(Sha256dEngine):
         per = leaves_per_root or self._cap
         self._roots = list(roots)
         self._journaled = len(roots)
+        self._preloaded = len(roots)
         self._full_slices = len(roots)
         self._count = per * len(roots)
         event("resume", slices=len(roots), leaves=self._count)
@@ -347,9 +349,18 @@ class TpuSha256D(Sha256dEngine):
         from ..utils.hexutil import words_to_digest as w2d
 
         s, local = divmod(index, self._cap)
-        digs = self._slice_digests[s]
+        if s < self._preloaded:
+            # Journal-adopted slices carry only their roots; the per-leaf
+            # digests needed for a within-slice path were computed by the
+            # original process and never reloaded.  Refuse loudly instead of
+            # indexing this run's digests with an absolute slice number.
+            raise RuntimeError(
+                f"proof unavailable for leaf {index}: slice {s} was resumed "
+                f"from a journal (only its root is known)"
+            )
+        digs = self._slice_digests[s - self._preloaded]
         rows = [w2d(digs[i]) for i in range(digs.shape[0])]
-        if len(self._slice_digests) == 1:
+        if self._preloaded + len(self._slice_digests) == 1:
             return oracle.merkle_proof_of_digests(rows, local)
         path = oracle.merkle_proof_of_digests(rows, local, height=self.config.slice_log2)
         roots = [
@@ -366,6 +377,7 @@ class TpuSha256D(Sha256dEngine):
         self._bytes = 0
         self._slice_digests = []
         self._journaled = 0
+        self._preloaded = 0
         self._full_slices = 0
         self._tail_done = False
         self.times = StageTimes()

@@ -37,14 +37,31 @@ def _load():
     except OSError:
         return None
     if lib.vkmr_native_abi() != 2:
-        # Stale build: try one rebuild, else degrade to pure Python.
+        # Stale build: rebuild, then load the fresh .so through a unique
+        # temporary copy — dlopen caches handles by pathname, so re-opening
+        # the same path would hand back the already-loaded stale library.
         try:
             subprocess.run(
                 ["make", "-C", _DIR, "-s", "clean", "all"],
                 check=True, capture_output=True, timeout=120,
             )
-            lib = ctypes.CDLL(_SO)
+            import shutil
+            import tempfile
+
+            tmp = tempfile.NamedTemporaryFile(
+                prefix="libvkmr_native_", suffix=".so", delete=False
+            )
+            tmp.close()
+            shutil.copy2(_SO, tmp.name)
+            lib = ctypes.CDLL(tmp.name)
         except Exception:
+            import warnings
+
+            warnings.warn(
+                "vkmr native library has a stale ABI and the rebuild/reload "
+                "failed; falling back to pure Python (slower)",
+                RuntimeWarning,
+            )
             return None
         if lib.vkmr_native_abi() != 2:
             return None

@@ -67,8 +67,8 @@ int main() {
   }
   const int64_t n = int64_t(lengths.size());
   if (n == 0) {
-    printf("CPU-native: computed root (of 0 item(s), 0 byte(s)) =>  in %g\n",
-           now_ms() - t0);
+    // Empty stream: no summary line, matching the reference's count>0 gate
+    // (Vkmr.cpp:52) and the Python CLI (cli.py run()).
     return 0;
   }
   std::vector<uint8_t> digests(size_t(n) * 32);

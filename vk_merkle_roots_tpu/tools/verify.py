@@ -42,10 +42,15 @@ def main(argv=None) -> int:
     with open(args.proof) as fh:
         text = fh.read().strip()
     # Accept either the bare JSON object or full vkmr stdout (object last).
-    record = json.loads(text.splitlines()[-1])
     leaf = bytes.fromhex(args.leaf_hex) if args.leaf_hex else sys.stdin.buffer.read()
-
-    ok, computed = verify_proof_json(record, leaf)
+    try:
+        record = json.loads(text.splitlines()[-1] if text else "")
+        ok, computed = verify_proof_json(record, leaf)
+    except (json.JSONDecodeError, KeyError, TypeError, ValueError) as exc:
+        # e.g. --proof errored upstream and only the summary line was
+        # captured: one clean diagnostic, not a traceback.
+        print(f"not a proof record: {args.proof} ({exc})", file=sys.stderr)
+        return 1
     if ok:
         print(f"OK {computed}")
         return 0
