@@ -84,3 +84,48 @@ def test_quantized_output_rows(rng):
     out = leaf_hashes(packed, backend="xla")
     assert out.shape[0] >= packed.count
     assert out.shape[0] & (out.shape[0] - 1) == 0  # power of two
+
+
+def test_stream_bucket_structure(rng):
+    """Leaves past UNROLL_MAX_BLOCKS land in quantized stream buckets with
+    per-leaf real block counts; the ladder keeps waste under 25%."""
+    from vk_merkle_roots_tpu.packing import UNROLL_MAX_BLOCKS, pack_leaves, stream_capacity
+
+    leaves = [rng.integers(0, 256, n, np.uint8).tobytes() for n in (600, 900, 5_000, 70_000)]
+    packed = pack_leaves(leaves)
+    stream = [b for b in packed.buckets if b.counts is not None]
+    assert stream, "long leaves must form stream buckets"
+    for b in stream:
+        assert b.nblocks > UNROLL_MAX_BLOCKS
+        assert (b.counts <= b.nblocks).all() and (b.counts > UNROLL_MAX_BLOCKS).all()
+        assert b.words.shape == (b.count, b.nblocks * 16)
+    for nb in (9, 17, 100, 1025, 8000):
+        cap = stream_capacity(nb)
+        assert cap >= nb and cap <= max(-(-nb * 5) // 4, 16), (nb, cap)
+
+
+def test_stream_path_xla_differential(rng):
+    """Long leaves hashed on-device via the block-loop stream path (XLA
+    fallback traces the same math as the Pallas kernel)."""
+    _check(
+        [rng.integers(0, 256, n, np.uint8).tobytes() for n in (513, 600, 640, 1000, 2000, 4096)]
+    )
+
+
+def test_stream_mixed_with_exact_and_host(rng):
+    """All three routes live in one batch: exact buckets, stream buckets,
+    host spans — order restored, byte-exact."""
+    from vk_merkle_roots_tpu.packing import pack_spans
+
+    sizes = [20, 600, 100, 5_000, 40, 900, 200_000, 7, 3_000]
+    leaves = [rng.integers(0, 256, n, np.uint8).tobytes() for n in sizes]
+    lengths = np.array([len(x) for x in leaves], np.int64)
+    offsets = np.concatenate(([0], np.cumsum(lengths)[:-1]))
+    data = np.frombuffer(b"".join(leaves), np.uint8)
+    packed = pack_spans(data, offsets, lengths, max_device_blocks=128)
+    assert packed.host_spans is not None  # the 200_000-byte leaf
+    assert any(b.counts is not None for b in packed.buckets)
+    assert any(b.counts is None for b in packed.buckets)
+    digs = np.asarray(leaf_hashes(packed, backend="xla"))[: packed.count]
+    for i, leaf in enumerate(leaves):
+        assert words_to_digest(digs[i]) == oracle.leaf_hash(leaf), f"leaf {i}"

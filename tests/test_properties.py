@@ -51,7 +51,13 @@ def test_pack_spans_matches_scalar_padding(leaves, max_device_blocks):
         if want_blocks > max_device_blocks:
             assert i not in rows_by_leaf
         else:
-            np.testing.assert_array_equal(rows_by_leaf[i], reference_padded_words(lf))
+            # Exact buckets hold exactly the padded message; stream buckets
+            # (block count > UNROLL_MAX_BLOCKS) zero-extend the row to the
+            # quantized capacity rung.
+            want = reference_padded_words(lf)
+            got = rows_by_leaf[i]
+            np.testing.assert_array_equal(got[: want.size], want)
+            assert not got[want.size :].any()
     # host_spans covers exactly the long leaves, in order.
     if packed.host_spans is not None:
         _, hoffs, hlens = packed.host_spans

@@ -100,3 +100,22 @@ def test_mapping_kernel_on_chip():
     digs = np.asarray(leaf_hashes(packed, backend="pallas"))
     for i, leaf in enumerate(leaves):
         assert words_to_digest(digs[i]) == oracle.leaf_hash(leaf)
+
+
+@requires_tpu
+def test_stream_kernel_on_chip():
+    """Compiled block-loop stream kernel (long leaves) vs hashlib — covers
+    state carry across grid steps, per-lane predication, and finalization."""
+    from vk_merkle_roots_tpu import oracle
+    from vk_merkle_roots_tpu.ops.leaf_hash import leaf_hashes
+    from vk_merkle_roots_tpu.packing import pack_leaves
+    from vk_merkle_roots_tpu.utils.hexutil import words_to_digest
+
+    rng = np.random.default_rng(11)
+    sizes = [513, 600, 640, 1000, 4096, 65536, 30]
+    leaves = [rng.integers(0, 256, n, np.uint8).tobytes() for n in sizes]
+    packed = pack_leaves(leaves)
+    assert any(b.counts is not None for b in packed.buckets)
+    digs = np.asarray(leaf_hashes(packed, backend="pallas"))
+    for i, leaf in enumerate(leaves):
+        assert words_to_digest(digs[i]) == oracle.leaf_hash(leaf), f"leaf {i}"

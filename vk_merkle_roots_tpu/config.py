@@ -35,11 +35,20 @@ class EngineConfig:
     backend: str = "auto"
     max_slices_in_flight: int = 8
     # Per-leaf message-block bound for device hashing; longer leaves hash on
-    # the host (SHA-NI/hashlib).  One message is a serial block chain — no
-    # device parallelism exists to win — and bounding it bounds both Mosaic
-    # kernel size (compile time scales with the unrolled block loop) and the
-    # number of distinct kernel shapes a mixed-length stream can create.
-    device_max_blocks: int = 8
+    # the host (SHA-NI/hashlib).  Leaves past packing.UNROLL_MAX_BLOCKS run
+    # through the block-loop stream kernel (one small Mosaic body for any
+    # length), so this bound is about *occupancy*, not compile size: one
+    # message is a serial block chain, so a leaf occupies one VPU lane for
+    # its whole length — past ~128 KB a typical batch can't fill a 1024-lane
+    # tile and the serial host SHA-NI is honestly faster.  It also bounds
+    # the packed row pitch (HBM per tile = 64 KB x blocks).
+    device_max_blocks: int = 2048
+    # MESH engine: reduce each full slice via shard_map across the device
+    # mesh (per-chip aligned subtrees + one 32 B/chip all_gather + replicated
+    # top) instead of round-robining whole slices to single devices.  This
+    # is the multi-chip/multi-host data-parallel path (SURVEY.md §2.4 north
+    # star); requires a power-of-two device count.
+    sharded_reduce: bool = False
     # Retain materialized slice digests so authentication paths (Merkle
     # proofs) can be generated after Root() — the reference lists proofs as
     # unimplemented future work (README.md:118-120).  Costs 32 B/leaf host

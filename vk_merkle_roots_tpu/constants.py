@@ -33,11 +33,16 @@ DIGEST_BYTES = 32
 BLOCK_WORDS = 16  # SHA256_MESSAGE_BLOCK_WC (SHA-256defs.h:35)
 BLOCK_BYTES = 64
 
-# The reference documents a 2^32-byte per-input limit (SHA-256defs.h:28-31).
-# We cap below the point where its non-standard MB_SIZE_TOP padding would
-# diverge from FIPS-180, so the two designs are byte-identical wherever both
-# are defined.
-MAX_LEAF_BYTES = (1 << 29) - 1
+# Per-leaf size limit, matching the reference's documented 2^32-byte input
+# limit (SHA-256defs.h:28-31).  NOTE on fidelity: the reference's padding
+# writes the top length word as ``size & 0xE0000000`` (MB_SIZE_TOP,
+# SHA-256defs.h:31) instead of ``size >> 29`` — non-FIPS for any single
+# input of 2^29 bytes or more.  This framework is FIPS/hashlib-standard at
+# every length, so roots agree with the reference for all leaves < 2^29
+# bytes and with hashlib (the correct value) everywhere.  Device stream
+# buckets stay far below this (EngineConfig.device_max_blocks rows); larger
+# leaves route to the host hasher, which handles any length.
+MAX_LEAF_BYTES = (1 << 32) - 1
 
 # FIPS-180-4 initial hash value (fractional parts of sqrt of first 8 primes).
 SHA256_IV = np.array(

@@ -36,7 +36,7 @@ def _load():
         lib = ctypes.CDLL(_SO)
     except OSError:
         return None
-    if lib.vkmr_native_abi() != 2:
+    if lib.vkmr_native_abi() != 3:
         # Stale build: rebuild, then load the fresh .so through a unique
         # temporary copy — dlopen caches handles by pathname, so re-opening
         # the same path would hand back the already-loaded stale library.
@@ -63,7 +63,7 @@ def _load():
                 RuntimeWarning,
             )
             return None
-        if lib.vkmr_native_abi() != 2:
+        if lib.vkmr_native_abi() != 3:
             return None
     u8p = ctypes.POINTER(ctypes.c_uint8)
     i64p = ctypes.POINTER(ctypes.c_int64)
@@ -72,6 +72,9 @@ def _load():
     lib.vkmr_merkle_root.argtypes = [u8p, ctypes.c_int64, ctypes.c_int32, u8p]
     lib.vkmr_merkle_root.restype = ctypes.c_int32
     lib.vkmr_pack_bucket.argtypes = [u8p, i64p, i64p, ctypes.c_int64, ctypes.c_int32, u32p]
+    lib.vkmr_pack_stream_bucket.argtypes = [
+        u8p, i64p, i64p, ctypes.c_int64, ctypes.c_int32, u32p
+    ]
     lib.vkmr_rndm_stream.argtypes = [
         ctypes.c_uint32,
         ctypes.c_int64,
@@ -168,6 +171,30 @@ def native_pack_bucket(
         _ptr(lengths, ctypes.c_int64),
         n,
         nblocks,
+        _ptr(out, ctypes.c_uint32),
+    )
+    return out
+
+
+def native_pack_stream_bucket(
+    data: np.ndarray, offsets: np.ndarray, lengths: np.ndarray, cap_blocks: int
+) -> np.ndarray | None:
+    """Stream-bucket packer: FIPS padding at each leaf's real block boundary,
+    zero blocks up to ``cap_blocks`` (packing._pack_stream_rows contract)."""
+    lib = _load()
+    if lib is None:
+        return None
+    data = np.ascontiguousarray(data, np.uint8)
+    offsets = np.ascontiguousarray(offsets, np.int64)
+    lengths = np.ascontiguousarray(lengths, np.int64)
+    n = int(lengths.size)
+    out = np.empty((n, cap_blocks * 16), np.uint32)
+    lib.vkmr_pack_stream_bucket(
+        _ptr(data, ctypes.c_uint8),
+        _ptr(offsets, ctypes.c_int64),
+        _ptr(lengths, ctypes.c_int64),
+        n,
+        cap_blocks,
         _ptr(out, ctypes.c_uint32),
     )
     return out

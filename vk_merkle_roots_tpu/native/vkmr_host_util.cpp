@@ -50,6 +50,36 @@ void vkmr_pack_bucket(const uint8_t* data, const int64_t* offsets,
   }
 }
 
+// Pack a *stream* bucket: n long leaves into rows of `cap_blocks` 64-byte
+// message blocks each.  Unlike vkmr_pack_bucket, each leaf's FIPS padding
+// (0x80 + 64-bit big-endian bit length) lands at the leaf's REAL padded
+// block boundary; the rest of the row is zero blocks the kernel predicates
+// off (packing._pack_stream_rows semantics).
+void vkmr_pack_stream_bucket(const uint8_t* data, const int64_t* offsets,
+                             const int64_t* lengths, int64_t n,
+                             int32_t cap_blocks, uint32_t* out) {
+  const int64_t words_per = int64_t(cap_blocks) * 16;
+  const int64_t pitch_bytes = int64_t(cap_blocks) * 64;
+#pragma omp parallel
+  {
+    std::vector<uint8_t> row(static_cast<size_t>(pitch_bytes), 0);
+#pragma omp for schedule(dynamic, 16)
+    for (int64_t i = 0; i < n; ++i) {
+      const int64_t len = lengths[i];
+      std::memset(row.data(), 0, size_t(pitch_bytes));
+      std::memcpy(row.data(), data + offsets[i], size_t(len));
+      row[size_t(len)] = 0x80;
+      const int64_t end = ((len + 9 + 63) / 64) * 64;  // real padded bytes
+      const uint64_t bits = uint64_t(len) * 8;
+      for (int i2 = 0; i2 < 8; ++i2)
+        row[size_t(end - 8 + i2)] = uint8_t(bits >> (56 - 8 * i2));
+      uint32_t* orow = out + i * words_per;
+      for (int64_t wIdx = 0; wIdx < words_per; ++wIdx)
+        orow[wIdx] = load_be32(row.data() + 4 * wIdx);
+    }
+  }
+}
+
 // glibc-compatible TYPE_3 additive-feedback rand(), reimplemented from the
 // published algorithm (same stream as the reference's rndm built against
 // glibc).  Fills `out` with `count` newline-terminated printable strings;

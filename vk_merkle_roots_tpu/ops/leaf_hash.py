@@ -90,6 +90,98 @@ def _bucket_hashes(words, nblocks: int, use_pallas: bool, interpret: bool):
     return out.transpose(0, 2, 3, 1).reshape(-1, 8)[:n]
 
 
+def _stream_kernel(x_ref, c_ref, o_ref, state_ref, *, nsteps: int):
+    """Hash 1024 long leaves, one message block per grid step.
+
+    The TPU answer to the reference mapping shader's data-dependent block
+    loop (``/root/reference/src/shaders/SHA-256.comp:207-285``): the grid's
+    minor dimension walks the (quantized) block capacity while the 8-word
+    hash state rides in VMEM scratch across steps, so the Mosaic body is ONE
+    compression (+ the finalization pass on the last step) no matter how
+    long the leaves are — compile size and count stay bounded while leaves
+    of any length hash at full VPU width.  Lanes whose leaf has fewer than
+    ``nsteps`` real blocks keep their state unchanged past their last block
+    (predicated select), exactly like a shader invocation exiting its loop.
+
+    Blocks: x (1, 16, 8, 128) message words of block b; c (1, 1, 8, 128)
+    per-lane real block counts; o (1, 8, 8, 128) digest words (written on
+    the last step); state scratch (8, 8, 128).
+    """
+    b = pl.program_id(1)
+
+    @pl.when(b == 0)
+    def _init():
+        for j in range(8):
+            state_ref[j] = jnp.full(
+                (TILE_SUB, TILE_LANE), np.uint32(sha256_core.SHA256_IV[j]), jnp.uint32
+            )
+
+    state = tuple(state_ref[j] for j in range(8))
+    w16 = [x_ref[0, t] for t in range(16)]
+    new = sha256_core.compress(state, w16)
+    active = c_ref[0, 0] > b
+    for j in range(8):
+        state_ref[j] = jnp.where(active, new[j], state[j])
+
+    @pl.when(b == nsteps - 1)
+    def _finalize():
+        out = sha256_core.finalize_sha256d(tuple(state_ref[j] for j in range(8)))
+        for j in range(8):
+            o_ref[0, j] = out[j]
+
+
+@partial(jax.jit, static_argnums=(2, 3, 4))
+def _stream_bucket_hashes(words, counts, cap_blocks: int, use_pallas: bool, interpret: bool):
+    """(n, cap_blocks*16) big-endian words + (n,) int32 real block counts
+    -> (n, 8) digest words.  One compiled shape per (row-quantized n,
+    capacity rung) pair; the Mosaic body is capacity-independent."""
+    n = words.shape[0]
+    wcount = cap_blocks * 16
+    if not use_pallas:
+        cols = words.T  # (wcount, n) word-major
+        state = sha256_core.initial_state(cols[0])
+
+        def body(b, st):
+            w = jax.lax.dynamic_slice_in_dim(cols, b * 16, 16, axis=0)
+            new = sha256_core.compress(st, [w[t] for t in range(16)], unroll=False)
+            active = counts > b
+            return tuple(jnp.where(active, nw, s) for nw, s in zip(new, st))
+
+        state = jax.lax.fori_loop(0, cap_blocks, body, state)
+        state = sha256_core.finalize_sha256d(state, unroll=False)
+        return jnp.stack(state, axis=1)
+
+    t = -(-n // TILE)
+    padded = jnp.pad(words, ((0, t * TILE - n), (0, 0)))
+    tiles = padded.reshape(t, TILE_SUB, TILE_LANE, wcount).transpose(0, 3, 1, 2)
+    c = jnp.pad(counts.astype(jnp.int32), (0, t * TILE - n)).reshape(
+        t, 1, TILE_SUB, TILE_LANE
+    )
+    out = pl.pallas_call(
+        partial(_stream_kernel, nsteps=cap_blocks),
+        grid=(t, cap_blocks),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 16, TILE_SUB, TILE_LANE),
+                lambda i, b: (i, b, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, TILE_SUB, TILE_LANE),
+                lambda i, b: (i, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 8, TILE_SUB, TILE_LANE), lambda i, b: (i, 0, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((t, 8, TILE_SUB, TILE_LANE), jnp.uint32),
+        scratch_shapes=[pltpu.VMEM((8, TILE_SUB, TILE_LANE), jnp.uint32)],
+        interpret=interpret,
+    )(tiles, c)
+    return out.transpose(0, 2, 3, 1).reshape(-1, 8)[:n]
+
+
 def _host_leaf_digest_words(data, offsets, lengths) -> np.ndarray:
     """SHA-256d digest words of long leaves on the host (native SHA-NI when
     built, hashlib otherwise), row-quantized like the device buckets.  One
@@ -151,7 +243,16 @@ def leaf_hashes(packed: PackedLeaves, backend: str = "auto", device=None) -> jax
         if rows != b.count:
             words = np.zeros((rows, words.shape[1]), dtype=np.uint32)
             words[: b.count] = b.words
-        parts.append(_bucket_hashes(_put(words), b.nblocks, use_pallas, interpret))
+        if b.counts is not None:  # stream bucket: block-loop kernel
+            blk = b.counts
+            if rows != b.count:
+                blk = np.zeros(rows, np.int32)
+                blk[: b.count] = b.counts
+            parts.append(
+                _stream_bucket_hashes(_put(words), _put(blk), b.nblocks, use_pallas, interpret)
+            )
+        else:
+            parts.append(_bucket_hashes(_put(words), b.nblocks, use_pallas, interpret))
         bases.append(base)
         counts.append(b.count)
         base += rows

@@ -25,11 +25,17 @@ from .constants import BLOCK_BYTES, MAX_LEAF_BYTES, padded_block_count
 
 @dataclass
 class Bucket:
-    """All leaves whose padded message is exactly ``nblocks`` blocks long."""
+    """All leaves whose padded message is exactly ``nblocks`` blocks long —
+    or, for a *stream* bucket (``counts is not None``), all leaves whose
+    padded block count lands in the same quantized-capacity rung: rows are
+    padded with zero blocks to ``nblocks`` (the rung capacity) and
+    ``counts[i]`` records leaf i's real block count for in-kernel
+    predication."""
 
     nblocks: int
     words: np.ndarray  # (count, nblocks*16) uint32, big-endian word values
     count: int
+    counts: np.ndarray | None = None  # (count,) int32 real block counts
 
 
 @dataclass
@@ -67,6 +73,53 @@ def split_lines(buffer: np.ndarray | bytes) -> tuple[np.ndarray, np.ndarray, np.
     return data, starts.astype(np.int64), (ends - starts).astype(np.int64)
 
 
+# Leaves whose padded message is at most this many blocks get an *exact*
+# bucket per block count: each compiles to a fully-unrolled kernel (the
+# fastest form, and only 8 shapes exist).  Longer leaves go to quantized
+# stream buckets (see stream_capacity) whose kernel is one compression in a
+# block loop — one small Mosaic body regardless of leaf length.
+UNROLL_MAX_BLOCKS = 8
+
+_STREAM_LADDER_BASE = 10
+
+
+def stream_capacity(nblocks: int) -> int:
+    """Quantized block capacity for a stream bucket: a geometric ladder with
+    ratio <= 5/4, so wasted (predicated-off) compressions stay under 20%
+    while the number of distinct compiled shapes stays logarithmic in the
+    leaf-length range (cf. the reference's single data-dependent block loop,
+    /root/reference/src/shaders/SHA-256.comp:207-285 — a TPU kernel wants a
+    static grid, so quantized capacity replaces the dynamic trip count)."""
+    cap = _STREAM_LADDER_BASE
+    while cap < nblocks:
+        cap += -(-cap // 4)  # next rung = ceil(cap * 5/4)
+    return cap
+
+
+def _pack_stream_rows(
+    data: np.ndarray, offs: np.ndarray, lens: np.ndarray, cap_blocks: int
+) -> np.ndarray:
+    """Pack leaves into rows of ``cap_blocks`` message blocks: FIPS padding
+    at each leaf's real block boundary, zero blocks after.  Python loop per
+    leaf is fine here — stream leaves are >512 B each, so the loop count is
+    small relative to the bytes moved."""
+    from .native.lib import native_pack_stream_bucket
+
+    out = native_pack_stream_bucket(data, offs, lens, cap_blocks)
+    if out is not None:
+        return out
+    n = int(lens.size)
+    buf = np.zeros((n, cap_blocks * BLOCK_BYTES), dtype=np.uint8)
+    for i in range(n):
+        length = int(lens[i])
+        row = buf[i]
+        row[:length] = data[int(offs[i]) : int(offs[i]) + length]
+        row[length] = 0x80
+        end = padded_block_count(length) * BLOCK_BYTES
+        row[end - 8 : end] = np.frombuffer((length * 8).to_bytes(8, "big"), np.uint8)
+    return buf.view(">u4").astype(np.uint32).reshape(n, cap_blocks * 16)
+
+
 def pack_spans(
     data: np.ndarray,
     offsets: np.ndarray,
@@ -75,12 +128,15 @@ def pack_spans(
 ) -> PackedLeaves:
     """Pack leaves given as (offset, length) spans over one u8 buffer.
 
-    ``max_device_blocks`` bounds the per-leaf message-block count sent to the
-    device: longer leaves become ``host_spans`` and are hashed by the host
-    SHA-256 (one message is a serial block chain — there is no parallelism
-    to win on any device; the reference likewise runs one shader invocation
-    per string however long, SHA-256.comp:207-285).  Bounding it also bounds
-    how many distinct kernel shapes a mixed-length stream can compile."""
+    Leaves up to ``UNROLL_MAX_BLOCKS`` blocks get exact per-block-count
+    buckets (fully-unrolled kernels).  Longer leaves get quantized *stream*
+    buckets hashed by the single-compression block-loop kernel — so leaves
+    of any length stay on the device, like the reference's mapping shader
+    streaming arbitrarily many blocks per string (SHA-256.comp:207-285).
+    ``max_device_blocks``, when set, routes still-longer leaves to
+    ``host_spans`` for the host SHA-256 (SHA-NI): past that point a sparse
+    batch cannot fill the 1024 lanes of a tile and the serial host hash is
+    honestly faster; it also bounds the packed row pitch."""
     data = np.ascontiguousarray(data, dtype=np.uint8)
     offsets = np.asarray(offsets, dtype=np.int64)
     lengths = np.asarray(lengths, dtype=np.int64)
@@ -106,7 +162,7 @@ def pack_spans(
             device_blocks = device_blocks[device_blocks <= max_device_blocks]
     buckets: list[Bucket] = []
     order_parts: list[np.ndarray] = []
-    for b in device_blocks:
+    for b in device_blocks[device_blocks <= UNROLL_MAX_BLOCKS]:
         idx = np.flatnonzero(nblocks == b)
         lens = lengths[idx]
         offs = offsets[idx]
@@ -125,13 +181,27 @@ def pack_spans(
                 src = np.repeat(offs, lens) + within
                 buf.reshape(-1)[row * pitch + within] = data[src]
             # FIPS-180 padding: 0x80 directly after the payload, bit length in
-            # the final 8 bytes (big-endian; top word zero for len < 2^29).
+            # the final 8 bytes (big-endian; top word zero — exact buckets are
+            # <= UNROLL_MAX_BLOCKS blocks, far below 2^29 bytes).
             buf.reshape(-1)[np.arange(idx.size, dtype=np.int64) * pitch + lens] = 0x80
             be = buf.view(">u4").reshape(idx.size, pitch // 4)
             be[:, -1] = (lens << 3).astype(np.uint32)
             words = np.ascontiguousarray(be).astype(np.uint32)
         buckets.append(Bucket(int(b), words, int(idx.size)))
         order_parts.append(idx)
+
+    # Stream buckets: group long leaves by quantized capacity rung.
+    long_blocks = device_blocks[device_blocks > UNROLL_MAX_BLOCKS]
+    if long_blocks.size:
+        caps = np.array([stream_capacity(int(b)) for b in long_blocks])
+        for cap in np.unique(caps):
+            members = long_blocks[caps == cap]
+            idx = np.flatnonzero(np.isin(nblocks, members))
+            words = _pack_stream_rows(data, offsets[idx], lengths[idx], int(cap))
+            buckets.append(
+                Bucket(int(cap), words, int(idx.size), counts=nblocks[idx].astype(np.int32))
+            )
+            order_parts.append(idx)
 
     if host_spans is not None:
         order_parts.append(host_idx)
