@@ -43,3 +43,21 @@ def test_mesh_stats_and_reset(rng):
     assert e.Stats()["devices"] >= 2
     assert e.Reset()
     assert e._batch_rr == 0
+
+
+def test_mesh_engine_sharded_reduce(rng):
+    """MESH --sharded: full slices reduce via shard_map across the 8-device
+    mesh; root byte-exact vs oracle across multiple slices + ragged tail."""
+    from vk_merkle_roots_tpu.config import EngineConfig
+    from vk_merkle_roots_tpu.models.mesh import MeshSha256D
+    from tests.conftest import random_leaves
+
+    leaves = random_leaves(rng, 300, maxlen=60)
+    e = MeshSha256D(
+        config=EngineConfig(
+            slice_log2=6, batch_leaves=48, backend="xla", sharded_reduce=True
+        )
+    )
+    assert e.AddMany(leaves)
+    assert e.Root() == oracle.merkle_root(leaves).hex()
+    assert e.Stats()["devices"] == 8

@@ -69,3 +69,24 @@ def test_dryrun_multichip_entrypoint():
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)
+
+
+def test_sharded_reduce_fn_matches_oracle(rng):
+    """Digest-level shard_map reduction over the 8-device mesh."""
+    import jax.numpy as jnp
+
+    from vk_merkle_roots_tpu.parallel.mesh import (
+        make_mesh,
+        make_sharded_reduce_fn,
+        shard_digests,
+    )
+    from vk_merkle_roots_tpu.utils.hexutil import words_to_digest
+
+    log2n = 9
+    n = 1 << log2n
+    digs = rng.integers(0, 1 << 32, size=(n, 8), dtype=np.uint32)
+    mesh = make_mesh(n_devices=8)
+    fn = make_sharded_reduce_fn(mesh, log2n)
+    got = words_to_digest(np.asarray(fn(shard_digests(mesh, jnp.asarray(digs)))))
+    want = oracle.merkle_root_of_digests([words_to_digest(digs[i]) for i in range(n)])
+    assert got == want

@@ -117,6 +117,13 @@ def main(argv=None) -> int:
     parser.add_argument("--batch-leaves", type=int, default=None)
     parser.add_argument("--backend", choices=["auto", "pallas", "xla"], default="auto")
     parser.add_argument(
+        "--sharded",
+        action="store_true",
+        help="MESH engine: reduce full slices via shard_map across the device "
+        "mesh (per-chip subtrees + 32 B/chip all_gather) instead of "
+        "round-robining slices to single devices",
+    )
+    parser.add_argument(
         "--proof",
         type=int,
         default=None,
@@ -157,6 +164,7 @@ def main(argv=None) -> int:
     if args.batch_leaves is not None:
         config.batch_leaves = args.batch_leaves
     config.backend = args.backend
+    config.sharded_reduce = args.sharded
     if args.proof is not None:
         config.keep_digests = True
     config.journal_path = args.journal

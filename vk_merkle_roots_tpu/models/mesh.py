@@ -40,6 +40,8 @@ class MeshSha256D(TpuSha256D):
         )
         self._batch_rr = 0
         self._slice_rr = 0
+        self._mesh = None
+        self._sharded_fn = None
 
     def _hash_packed(self, packed):
         import jax
@@ -51,8 +53,29 @@ class MeshSha256D(TpuSha256D):
         digs = leaf_hashes(packed, self.config.backend, device=dev)
         return jax.device_put(digs, self._devices[0])
 
+    def _sharded_reduce(self):
+        """Cached shard_map slice reducer over all devices (pow-2 prefix)."""
+        if self._sharded_fn is None:
+            from ..parallel.mesh import make_mesh, make_sharded_reduce_fn
+            from ..utils.bitmath import largest_pow2_le
+
+            ndev = largest_pow2_le(len(self._devices))
+            self._mesh = make_mesh(devices=self._devices, n_devices=ndev)
+            self._sharded_fn = make_sharded_reduce_fn(
+                self._mesh, self.config.slice_log2, self.config.backend
+            )
+        return self._mesh, self._sharded_fn
+
     def _reduce_full_slice(self, digests):
         import jax
+
+        if self.config.sharded_reduce:
+            # DP over the slice: 32 B/leaf scatters once over ICI, each chip
+            # reduces its aligned perfect subtree, roots merge replicated.
+            from ..parallel.mesh import shard_digests
+
+            mesh, fn = self._sharded_reduce()
+            return fn(shard_digests(mesh, digests))
 
         from ..ops.tree_reduce import reduce_perfect_block
 

@@ -58,3 +58,80 @@ def global_mesh():
     from .mesh import make_mesh
 
     return make_mesh()
+
+
+def demo_main(argv=None) -> int:
+    """Multi-process demo/verification entry: every process rendezvouses,
+    contributes its shard of a deterministic leaf set, and computes the
+    sharded stream root (per-chip subtrees + all_gather merge).  Run one
+    copy per host/process::
+
+        python -m vk_merkle_roots_tpu.parallel.distributed \\
+            --coordinator host0:9876 --num-processes 2 --process-id 0
+
+    Prints ``sharded_root <hex>`` (identical on every process).  The
+    2-process CPU-backend test (tests/test_distributed.py) drives this to
+    prove the cross-process collective path end-to-end without a pod.
+    """
+    import argparse
+
+    p = argparse.ArgumentParser(description=demo_main.__doc__)
+    p.add_argument("--coordinator", default=None)
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
+    p.add_argument("--leaves", type=int, default=512)
+    p.add_argument("--leaf-bytes", type=int, default=24)
+    p.add_argument("--seed", type=int, default=7)
+    a = p.parse_args(argv)
+
+    initialize_distributed(a.coordinator, a.num_processes, a.process_id)
+    import jax
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..packing import pack_leaves
+    from ..utils.hexutil import words_to_digest
+    from .mesh import DATA_AXIS, make_mesh, make_sharded_reduce_fn, make_sharded_root_fn
+
+    nproc = jax.process_count()
+    rng = np.random.default_rng(a.seed)
+    leaves = [
+        rng.integers(32, 126, size=a.leaf_bytes, dtype=np.uint8).tobytes()
+        for _ in range(a.leaves)
+    ]
+    packed = pack_leaves(leaves)
+    assert len(packed.buckets) == 1, "demo uses one fixed-size bucket"
+    words = packed.buckets[0].words
+    nblocks = packed.buckets[0].nblocks
+
+    mesh = make_mesh()
+    sharding = NamedSharding(mesh, P(DATA_AXIS, None))
+    rows = a.leaves // nproc
+    pid = jax.process_index()
+    local = words[pid * rows : (pid + 1) * rows]
+    garr = jax.make_array_from_process_local_data(sharding, local, global_shape=words.shape)
+    fn = make_sharded_root_fn(mesh, a.leaves, nblocks)
+    root = words_to_digest(np.asarray(fn(garr)))
+    print(f"sharded_root {root.hex()}", flush=True)
+
+    # Digest-level sharded reduction (the engine's --sharded slice path):
+    # same tree, computed from pre-hashed rows sharded across processes.
+    from .. import oracle
+
+    digs = np.stack(
+        [np.frombuffer(oracle.leaf_hash(x), ">u4").astype(np.uint32) for x in leaves]
+    )
+    log2n = a.leaves.bit_length() - 1
+    rfn = make_sharded_reduce_fn(mesh, log2n)
+    gdig = jax.make_array_from_process_local_data(
+        sharding, digs[pid * rows : (pid + 1) * rows], global_shape=digs.shape
+    )
+    root2 = words_to_digest(np.asarray(rfn(gdig)))
+    print(f"sharded_reduce_root {root2.hex()}", flush=True)
+    return 0 if root == root2 else 1
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.exit(demo_main())

@@ -46,6 +46,79 @@ def make_mesh(devices=None, n_devices: int | None = None) -> Mesh:
     return Mesh(np.array(devs), (DATA_AXIS,))
 
 
+def _mesh_ndev(mesh: Mesh) -> int:
+    return int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+
+
+def _merge_local_roots(root, log2dev: int, rev_dev):
+    """Per-chip subtree root -> replicated stream root: one 32 B/chip
+    ``all_gather`` rides ICI, then every chip computes the identical top
+    ``log2dev`` levels (replacing the reference's CPU merge of slice roots,
+    Reductions.cpp:670-713)."""
+    if not log2dev:
+        return root
+    roots = jax.lax.all_gather(root, DATA_AXIS)  # (ndev, 8) — 32 B/chip
+    x = jnp.take(roots, rev_dev, axis=0).T
+    from ..ops import tree_reduce as _tr
+
+    while x.shape[1] > 1:
+        x = _tr._fold_level_xla(x)
+    return x[:, 0]
+
+
+def make_sharded_reduce_fn(mesh: Mesh, log2n: int, backend: str = "auto"):
+    """Build a jittable sharded reduction: (2^log2n, 8) digest rows sharded
+    over the mesh -> replicated (8,) root words.
+
+    The digest-level counterpart of :func:`make_sharded_root_fn`: each chip
+    reduces its aligned perfect subtree locally, per-chip roots merge via
+    one tiny all_gather.  Because it operates on digests, it serves any leaf
+    mixture — this is what the streaming engine's ``--sharded`` mode uses to
+    reduce full slices across the mesh (SURVEY.md §5.7: the slice
+    decomposition *is* the distribution unit)."""
+    ndev = _mesh_ndev(mesh)
+    n = 1 << log2n
+    if n % ndev or not is_pow2(ndev):
+        raise ValueError("slice size must be a power of two divisible by the mesh")
+    per = n // ndev
+    log2per = ceil_log2(per) if per > 1 else 0
+    log2dev = ceil_log2(ndev) if ndev > 1 else 0
+    interpret = jax.default_backend() != "tpu"
+    use_pallas = backend == "pallas" or (backend == "auto" and not interpret)
+    rev_local = jnp.asarray(_tr._bitrev(log2per)) if log2per else None
+    rev_dev = jnp.asarray(_tr._bitrev(log2dev)) if log2dev else None
+
+    def local_step(digests_shard):
+        if log2per:
+            fold = jnp.take(digests_shard, rev_local, axis=0)
+            root = _tr.reduce_bitrev_body(fold, log2per, use_pallas, interpret)
+        else:
+            root = digests_shard[0]
+        return _merge_local_roots(root, log2dev, rev_dev)
+
+    sharded = _shard_map(local_step, mesh, in_specs=P(DATA_AXIS, None), out_specs=P())
+    return jax.jit(sharded)
+
+
+def shard_digests(mesh: Mesh, digests):
+    """Place (n, 8) digest rows row-sharded over the mesh (32 B/leaf moves
+    once over ICI; every subsequent reduction step is communication-free
+    until the 32 B/chip root gather)."""
+    return jax.device_put(digests, NamedSharding(mesh, P(DATA_AXIS, None)))
+
+
+def _shard_map(fn, mesh, in_specs, out_specs):
+    try:
+        from jax import shard_map
+
+        kw = {"check_vma": False}
+    except ImportError:  # older JAX
+        from jax.experimental.shard_map import shard_map
+
+        kw = {"check_rep": False}
+    return shard_map(fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs, **kw)
+
+
 def make_sharded_root_fn(mesh: Mesh, n_leaves: int, nblocks: int, backend: str = "auto"):
     """Build a jittable sharded step: packed words (n_leaves, nblocks*16)
     row-sharded over the mesh -> replicated (8,) root words.
