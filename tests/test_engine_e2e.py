@@ -165,3 +165,64 @@ def test_root_is_idempotent(rng):
     assert first == oracle.merkle_root(leaves).hex()
     assert e.Root() == first
     assert e.Root() == first
+
+
+def test_stats_device_sampling(rng):
+    """1-in-N ops get true device-synchronized timing; those stages report
+    GB_per_s, dispatch stages do not (round-1 'misleading stats' fix)."""
+    e = TpuSha256D(
+        name="ds",
+        config=EngineConfig(
+            slice_log2=4, batch_leaves=16, backend="xla", stats_sample_every=2
+        ),
+    )
+    leaves = random_leaves(rng, 128, maxlen=30)
+    assert e.AddMany(leaves)
+    assert e.Root() == oracle.merkle_root(leaves).hex()
+    stages = e.Stats()["stages"]
+    assert stages["map_device"]["count"] >= 2
+    assert "GB_per_s" in stages["map_device"]
+    assert "GB_per_s" in stages["reduce_device"]
+    assert "GB_per_s" not in stages["map_dispatch"]
+    assert "GB_per_s" not in stages["reduce_dispatch"]
+
+
+def test_device_oom_degrades_to_smaller_batches(rng):
+    """Accept-smaller walk (Batches.cpp:352-385 analog): when the device
+    rejects allocations above an artificial budget, the engine halves its
+    batch cap, retries, and still produces the right root."""
+    budget = {"max_rows": 1500, "ooms": 0}
+    e = TpuSha256D(
+        name="oom",
+        config=EngineConfig(slice_log2=12, batch_leaves=4096, backend="xla"),
+    )
+    orig = e._hash_packed
+
+    def tight(packed):
+        if packed.count > budget["max_rows"]:
+            budget["ooms"] += 1
+            raise RuntimeError("RESOURCE_EXHAUSTED: Out of memory (simulated)")
+        return orig(packed)
+
+    e._hash_packed = tight
+    leaves = random_leaves(rng, 5000, maxlen=20)
+    assert e.AddMany(leaves)
+    assert e.Root() == oracle.merkle_root(leaves).hex()
+    assert budget["ooms"] >= 1
+    assert e._batch_cap <= 1024
+
+
+def test_device_oom_at_floor_fails_soft(rng):
+    """OOM at the minimum batch size: Add returns False (clean stop), the
+    reference's Add->false contract (Vkmr.cpp:44-47)."""
+    e = TpuSha256D(
+        name="oomf",
+        config=EngineConfig(slice_log2=12, batch_leaves=4096, backend="xla"),
+    )
+
+    def always_oom(packed):
+        raise RuntimeError("RESOURCE_EXHAUSTED: Out of memory (simulated)")
+
+    e._hash_packed = always_oom
+    leaves = random_leaves(rng, 5000, maxlen=20)
+    assert not e.AddMany(leaves)

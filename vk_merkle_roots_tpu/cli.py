@@ -42,14 +42,23 @@ def run(
     stats: bool = False,
     proof_index: int | None = None,
     skip_leaves: int = 0,
+    resume_check: dict | None = None,
 ) -> int:
     """The main loop (Vkmr.cpp:28-58): ingest every line, then print the
-    root + summary.  Returns process exit code."""
+    root + summary.  Returns process exit code.
+
+    ``resume_check`` (journal resume): ``{"bytes": int, "sha256": hex}`` of
+    the skipped stream prefix per the journal's last record; the skipped
+    leaves are re-hashed while skipping and a mismatch refuses loudly
+    instead of silently printing a wrong root."""
+    import hashlib
+
     from .ingest import iter_line_spans
 
     count = 0
     size = 0
     skipped = 0
+    skip_sha = hashlib.sha256()
     sw = StopWatch()
     for data, offs, lens in iter_line_spans(in_stream):
         nonempty = lens > 0
@@ -65,8 +74,29 @@ def run(
             drop = min(skip_leaves - skipped, int(lens.size))
             count += drop
             size += int(lens[:drop].sum())
+            # Re-hash the skipped range with the engine's coverage rule
+            # (leaf i covers [off[i], off[i+1]) within a chunk) so the
+            # digest continues the journal's integrity chain byte-exactly.
+            end = int(offs[drop]) if drop < int(lens.size) else int(offs[drop - 1] + lens[drop - 1])
+            skip_sha.update(bytes(memoryview(data)[int(offs[0]) : end]))
             offs, lens = offs[drop:], lens[drop:]
             skipped += drop
+            if skipped == skip_leaves:
+                if resume_check is not None:
+                    got_bytes, got_sha = size, skip_sha.hexdigest()
+                    if got_bytes != resume_check["bytes"] or got_sha != resume_check["sha256"]:
+                        print(
+                            "journal/stream mismatch: journal covers "
+                            f"{resume_check['bytes']} byte(s) sha256="
+                            f"{resume_check['sha256'][:16]}…, but the skipped "
+                            f"input prefix has {got_bytes} byte(s) sha256="
+                            f"{got_sha[:16]}…; refusing to resume against a "
+                            "different stream",
+                            file=err,
+                        )
+                        return 1
+                if hasattr(engine, "SeedStreamDigest"):
+                    engine.SeedStreamDigest(skip_sha, size)
         if lens.size == 0:
             continue
         if not engine.AddSpans(data, offs, lens):
@@ -211,6 +241,7 @@ def main(argv=None) -> int:
         return 1
 
     skip_leaves = 0
+    resume_check = None
     if args.journal:
         import json
         import os
@@ -225,6 +256,8 @@ def main(argv=None) -> int:
                 for line in fh:
                     rec = json.loads(line)
                     roots.append(bytes.fromhex(rec["root"]))
+                    if "sha256" in rec and "bytes" in rec:
+                        resume_check = {"bytes": int(rec["bytes"]), "sha256": rec["sha256"]}
                     n = int(rec.get("leaves", 1 << config.slice_log2))
                     if n <= 0 or n & (n - 1):
                         print(f"journal slice size {n} is not a power of two", file=sys.stderr)
@@ -256,7 +289,12 @@ def main(argv=None) -> int:
     if args.input:
         with open(args.input, "rb") as fh:
             return run(
-                engine, fh, stats=args.stats, proof_index=args.proof, skip_leaves=skip_leaves
+                engine,
+                fh,
+                stats=args.stats,
+                proof_index=args.proof,
+                skip_leaves=skip_leaves,
+                resume_check=resume_check,
             )
     return run(
         engine,
@@ -264,6 +302,7 @@ def main(argv=None) -> int:
         stats=args.stats,
         proof_index=args.proof,
         skip_leaves=skip_leaves,
+        resume_check=resume_check,
     )
 
 

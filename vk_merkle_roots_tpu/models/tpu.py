@@ -48,6 +48,12 @@ from .base import Sha256dEngine
 _SLACK_LOG2 = 17  # slack rows (>= largest quantized chunk) after the slice
 
 
+def _is_oom(exc: Exception) -> bool:
+    """Device allocation failure, as PJRT surfaces it."""
+    msg = str(exc)
+    return "RESOURCE_EXHAUSTED" in msg or "Out of memory" in msg
+
+
 def _jax():
     import jax
 
@@ -100,6 +106,17 @@ class _PendingLeaves:
                 n = 0
         return out
 
+    def push_front(self, chunks) -> None:
+        """Return popped-but-unprocessed chunks to the head of the FIFO
+        (stream order preserved) — the overflow put-back, SHA-256vk.cpp:
+        389-426 analog, used by the device-OOM accept-smaller retry."""
+        for data, offs, lens in reversed(chunks):
+            if lens.size == 0:
+                continue
+            self._chunks.insert(0, (data, offs, lens))
+            self.count += int(lens.size)
+            self.nbytes += int(lens.sum())
+
 
 class TpuSha256D(Sha256dEngine):
     """Streaming SHA-256d Merkle-root engine on a JAX device."""
@@ -124,6 +141,9 @@ class TpuSha256D(Sha256dEngine):
         super().__init__(name or self._device.device_kind)
         self._jnp = jax.numpy
         self._cap = 1 << self.config.slice_log2
+        # Degradable flush size: halved on device OOM (the accept-smaller
+        # allocation walk, Batches.cpp:352-385 analog) down to a floor.
+        self._batch_cap = self.config.batch_leaves
         self._buf = None  # allocated lazily: (cap + slack, 8) uint32
         self._fill = 0
         self._roots: list = []  # device (8,) arrays OR host bytes, slice order
@@ -135,14 +155,34 @@ class TpuSha256D(Sha256dEngine):
         self._preloaded = 0  # slices adopted from a journal (no digests held)
         self._full_slices = 0  # slices completed at full capacity
         self._tail_done = False  # trailing ragged slice folded into _roots
+        self._map_ops = 0
+        self._reduce_ops = 0
+        self._init_stream_digest()
         self.times = StageTimes()
 
     # -- journal / resume --------------------------------------------------
 
-    def PreloadSliceRoots(self, roots: list[bytes], leaves_per_root: int | None = None) -> None:
+    def _init_stream_digest(self) -> None:
+        import hashlib
+
+        self._stream_sha = hashlib.sha256()
+        self._stream_bytes = 0  # cumulative payload bytes
+        self._digested = 0  # leaves folded into the stream digest
+        self._snaps: dict[int, tuple[int, str]] = {}  # slice# -> (bytes, sha)
+
+    def PreloadSliceRoots(
+        self,
+        roots: list[bytes],
+        leaves_per_root: int | None = None,
+        stream_sha=None,
+        stream_bytes: int = 0,
+    ) -> None:
         """Seed the engine with already-computed full-slice roots (resume
         from a journal): subsequent input continues at the next slice.
-        ``leaves_per_root`` defaults to the slice capacity."""
+        ``leaves_per_root`` defaults to the slice capacity.  ``stream_sha``
+        (a primed ``hashlib.sha256`` covering the skipped stream prefix) and
+        ``stream_bytes`` let the resumed engine continue the journal's
+        integrity chain; the CLI computes them while skipping."""
         if self._count or self._roots:
             raise RuntimeError("PreloadSliceRoots requires a fresh engine")
         per = leaves_per_root or self._cap
@@ -151,7 +191,49 @@ class TpuSha256D(Sha256dEngine):
         self._preloaded = len(roots)
         self._full_slices = len(roots)
         self._count = per * len(roots)
+        if stream_sha is not None:
+            self._stream_sha = stream_sha
+        self._stream_bytes = stream_bytes
+        self._digested = self._count
         event("resume", slices=len(roots), leaves=self._count)
+
+    def SeedStreamDigest(self, stream_sha, stream_bytes: int) -> None:
+        """Install the integrity-digest state covering already-skipped input
+        (used by the CLI after verifying the skipped prefix on resume)."""
+        self._stream_sha = stream_sha
+        self._stream_bytes = stream_bytes
+
+    def _update_stream_digest(self, data, offsets, lengths) -> None:
+        """Fold one ingested chunk into the running stream-integrity digest,
+        snapshotting (cumulative bytes, hex digest) at every slice boundary.
+
+        Coverage rule — chosen so a resumed run that splits a chunk at a
+        slice boundary reproduces the digest byte-for-byte: leaf i of a
+        chunk covers ``data[off[i] : off[i+1])`` (framing bytes between
+        in-chunk leaves included) and the chunk's last leaf covers exactly
+        its own bytes.  Concatenating a split chunk's two coverage ranges
+        equals the unsplit range."""
+        n = int(lengths.size)
+        if n == 0:
+            return
+        ends = np.concatenate([offsets[1:], [offsets[-1] + lengths[-1]]])
+        if n > 1 and bool(np.any(offsets[1:] < offsets[:-1] + lengths[:-1])):
+            # Overlapping/unordered spans (exotic API use): exact per-leaf
+            # coverage.  Deterministic for identical call sequences.
+            ends = offsets + lengths
+        cap = self._cap
+        i = 0
+        while i < n:
+            j = min(n, i + cap - (self._digested % cap))
+            self._stream_sha.update(data[int(offsets[i]) : int(ends[j - 1])])
+            self._stream_bytes += int(lengths[i:j].sum())
+            self._digested += j - i
+            if self._digested % cap == 0:
+                self._snaps[self._digested // cap - 1] = (
+                    self._stream_bytes,
+                    self._stream_sha.hexdigest(),
+                )
+            i = j
 
     def _journal_materialized(self) -> None:
         """Append any newly materialized (host-side) slice roots, in slice
@@ -172,7 +254,16 @@ class TpuSha256D(Sha256dEngine):
             return
         with open(self.config.journal_path, "a") as fh:
             for idx, root in new:
-                fh.write(json.dumps({"slice": idx, "leaves": self._cap, "root": root.hex()}) + "\n")
+                rec = {"slice": idx, "leaves": self._cap, "root": root.hex()}
+                snap = self._snaps.get(idx)
+                if snap is not None:
+                    # Stream-integrity chain: cumulative payload bytes and a
+                    # running SHA-256 over the ingested byte ranges through
+                    # this slice's last leaf.  Resume verifies the skipped
+                    # prefix against these and refuses on mismatch instead
+                    # of silently printing a wrong root.
+                    rec["bytes"], rec["sha256"] = snap
+                fh.write(json.dumps(rec) + "\n")
         self._journaled = i
 
     # -- ingest ------------------------------------------------------------
@@ -210,6 +301,10 @@ class TpuSha256D(Sha256dEngine):
                 self._slice_digests.pop()
             self._tail_done = False
         try:
+            if self.config.journal_path:
+                self._update_stream_digest(
+                    np.asarray(data, np.uint8), np.asarray(offsets), np.asarray(lengths)
+                )
             self._pending.push(np.asarray(data, np.uint8), np.asarray(offsets), np.asarray(lengths))
             self._count += int(lengths.size)
             self._bytes += int(lengths.sum())
@@ -217,7 +312,9 @@ class TpuSha256D(Sha256dEngine):
                 self._pending.count >= self.config.batch_leaves
                 or self._pending.nbytes >= self.config.batch_bytes
             ):
-                self._flush_some()
+                if not self._flush_some():
+                    event("ingest_failed", reason="device_oom")
+                    return False
             return True
         except MemoryError:
             # Fail-soft: stop ingest cleanly, like Add -> false halting the
@@ -225,7 +322,7 @@ class TpuSha256D(Sha256dEngine):
             event("ingest_failed", reason="host_oom")
             return False
         except Exception as exc:  # device OOM surfaces as RuntimeError
-            if "RESOURCE_EXHAUSTED" in str(exc) or "Out of memory" in str(exc):
+            if _is_oom(exc):
                 event("ingest_failed", reason="device_oom")
                 return False
             raise
@@ -252,33 +349,78 @@ class TpuSha256D(Sha256dEngine):
 
         return reduce_perfect_block(digests, self.config.slice_log2, self.config.backend)
 
-    def _flush_some(self) -> None:
+    def _flush_some(self) -> bool:
         """Move up to one slice-limited batch of pending leaves to the
         device: pack -> hash -> append to the current slice; reduce the
-        slice when it fills."""
+        slice when it fills.
+
+        Returns False only when the device is out of memory at the minimum
+        batch size (callers fail soft, Vkmr.cpp:44-47 style).  On OOM above
+        the floor, unprocessed chunks go back to the pending head and the
+        batch cap halves — the accept-smaller allocation walk the reference
+        does for batches (Batches.cpp:352-385)."""
         if self._pending.count == 0:
-            return
+            return True
         self._ensure_buf()
         space = self._cap - self._fill
-        take = min(self._pending.count, space, self.config.batch_leaves)
+        take = min(self._pending.count, space, self._batch_cap)
         sw = StopWatch()
         chunks = self._pending.pop(take)
         append = _append_fn()
-        for data, offs, lens in chunks:
-            packed = pack_spans(data, offs, lens, self.config.device_max_blocks)
-            t_pack = sw.Elapsed()
-            self.times.add("pack", t_pack, int(lens.sum()))
-            sw.Start()
-            digs = self._hash_packed(packed)
-            self._buf = append(self._buf, digs, np.int32(self._fill))
-            self._fill += packed.count
-            self.times.add("map_dispatch", sw.Elapsed(), int(lens.sum()))
-            sw.Start()
+        every = self.config.stats_sample_every
+        done = 0
+        try:
+            for data, offs, lens in chunks:
+                packed = pack_spans(data, offs, lens, self.config.device_max_blocks)
+                t_pack = sw.Elapsed()
+                self.times.add("pack", t_pack, int(lens.sum()), throughput=True)
+                sw.Start()
+                self._map_ops += 1
+                sample = every and self._map_ops % every == 0
+                if sample:
+                    # True per-op device time (QueryPoolTimers.cpp:52-93
+                    # role): drain the async queue, then bracket THIS op to
+                    # completion.  A tiny readback is the sync primitive —
+                    # reliable even where block_until_ready is not
+                    # (remote-device plugins).
+                    np.asarray(self._buf[0, :1])
+                    sw_dev = StopWatch()
+                digs = self._hash_packed(packed)
+                self._buf = append(self._buf, digs, np.int32(self._fill))
+                self._fill += packed.count
+                done += 1
+                if sample:
+                    np.asarray(self._buf[0, :1])
+                    self.times.add(
+                        "map_device", sw_dev.Elapsed(), int(lens.sum()), throughput=True
+                    )
+                self.times.add("map_dispatch", sw.Elapsed(), int(lens.sum()))
+                sw.Start()
+        except Exception as exc:
+            if not _is_oom(exc):
+                raise
+            self._pending.push_front(chunks[done:])
+            floor = min(1024, self.config.batch_leaves)
+            if self._batch_cap <= floor and done == 0:
+                event("device_oom", batch_cap=self._batch_cap, fatal=True)
+                return False
+            self._batch_cap = max(self._batch_cap // 2, floor)
+            event("device_oom_degrade", batch_cap=self._batch_cap)
+            return True
         if self._fill == self._cap:
             sw.Start()
             if self.config.keep_digests:
                 self._slice_digests.append(np.asarray(self._buf[: self._cap]))
+            self._reduce_ops += 1
+            # Slices are ~batch_count x rarer than maps: denser cadence.
+            sample = every and self._reduce_ops % max(1, every // 8) == 0
+            if sample:
+                np.asarray(self._buf[0, :1])
+                sw_dev = StopWatch()
             root = self._reduce_full_slice(self._buf[: self._cap])
+            if sample:
+                np.asarray(root)
+                self.times.add("reduce_device", sw_dev.Elapsed(), self._cap * 32, throughput=True)
             self._roots.append(root)
             self._full_slices += 1
             event("slice_reduced", slice=len(self._roots), leaves=self._cap)
@@ -292,6 +434,7 @@ class TpuSha256D(Sha256dEngine):
                 self._roots[oldest] = words_to_digest(np.asarray(self._roots[oldest]))
                 event("backpressure_block", slice=oldest + 1)
             self._journal_materialized()
+        return True
 
     # -- finalization ------------------------------------------------------
 
@@ -299,7 +442,11 @@ class TpuSha256D(Sha256dEngine):
         from ..ops.tree_reduce import merkle_root_of_digest_rows, slice_root
 
         while self._pending.count > 0:
-            self._flush_some()
+            if not self._flush_some():
+                raise RuntimeError(
+                    "device out of memory during finalization (batch cap "
+                    f"exhausted at {self._batch_cap} leaves)"
+                )
         sw = StopWatch()
         if self._fill > 0 and self.config.keep_digests and not self._tail_done:
             self._slice_digests.append(np.asarray(self._buf[: self._fill]))
@@ -380,6 +527,9 @@ class TpuSha256D(Sha256dEngine):
         self._preloaded = 0
         self._full_slices = 0
         self._tail_done = False
+        self._map_ops = 0
+        self._reduce_ops = 0
+        self._init_stream_digest()
         self.times = StageTimes()
         return True
 

@@ -30,23 +30,32 @@ class StopWatch:
 
 @dataclass
 class StageTimes:
-    """Accumulates per-stage {count, total_ms, total_bytes} records."""
+    """Accumulates per-stage {count, total_ms, total_bytes} records.
 
-    stages: dict = field(default_factory=lambda: defaultdict(lambda: [0, 0.0, 0]))
+    ``throughput=True`` marks a record as a genuine rate measurement (the
+    bracketed interval covers the actual work, e.g. host packing or a
+    device-synchronized sample); only those stages report ``GB_per_s``.
+    Dispatch brackets around async device calls measure host dispatch
+    latency — real and useful, but NOT device throughput — so they carry
+    bytes without a rate (this distinction is the round-1 'Stats semantics
+    are misleading' fix)."""
 
-    def add(self, stage: str, ms: float, nbytes: int = 0) -> None:
+    stages: dict = field(default_factory=lambda: defaultdict(lambda: [0, 0.0, 0, False]))
+
+    def add(self, stage: str, ms: float, nbytes: int = 0, throughput: bool = False) -> None:
         rec = self.stages[stage]
         rec[0] += 1
         rec[1] += ms
         rec[2] += nbytes
+        rec[3] = rec[3] or throughput
 
     def summary(self) -> dict:
         out = {}
-        for name, (count, ms, nbytes) in self.stages.items():
+        for name, (count, ms, nbytes, rate) in self.stages.items():
             entry = {"count": count, "ms": round(ms, 3)}
             if nbytes:
                 entry["bytes"] = nbytes
-                if ms > 0:
+                if rate and ms > 0:
                     entry["GB_per_s"] = round(nbytes / (ms * 1e6), 3)
             out[name] = entry
         return out
