@@ -226,3 +226,44 @@ def test_device_oom_at_floor_fails_soft(rng):
     e._hash_packed = always_oom
     leaves = random_leaves(rng, 5000, maxlen=20)
     assert not e.AddMany(leaves)
+
+
+def test_host_pending_budget_bounds_queue(rng):
+    """The host pending queue never holds more than host_pending_bytes when
+    AddSpans returns (the Batches.cpp:294-331 heap-accounting analog): a
+    tiny budget forces extra flushes but the root is unaffected."""
+    leaves = random_leaves(rng, 400, maxlen=64)
+    e = TpuSha256D(
+        name="t",
+        config=EngineConfig(
+            slice_log2=6,
+            batch_leaves=1 << 12,  # flush thresholds far above the budget:
+            batch_bytes=64 << 20,  # only the budget can trigger drains
+            host_pending_bytes=512,
+            backend="xla",
+        ),
+    )
+    for i in range(0, 400, 40):
+        assert e.AddMany(leaves[i : i + 40])
+        assert e._pending.nbytes <= 512
+    assert e.Root() == oracle.merkle_root(leaves).hex()
+
+
+def test_tiny_budgets_fuzz(rng):
+    """Fuzz: arbitrary tiny slice/batch/host budgets all complete with the
+    oracle root (the degrade paths must compose, VERDICT r1 next-step 8)."""
+    for trial in range(6):
+        n = int(rng.integers(1, 260))
+        leaves = random_leaves(rng, n, maxlen=48)
+        cfg = EngineConfig(
+            slice_log2=int(rng.integers(2, 7)),
+            batch_leaves=int(rng.integers(2, 60)),
+            batch_bytes=int(rng.integers(64, 4096)),
+            host_pending_bytes=int(rng.integers(32, 2048)),
+            backend="xla",
+        )
+        e = TpuSha256D(name="t", config=cfg)
+        step = max(1, n // 7)
+        for i in range(0, n, step):
+            assert e.AddMany(leaves[i : i + step])
+        assert e.Root() == oracle.merkle_root(leaves).hex(), f"trial {trial}: {cfg}"

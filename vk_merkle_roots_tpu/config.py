@@ -32,6 +32,14 @@ class EngineConfig:
     slice_log2: int = 20
     batch_leaves: int = 1 << 16
     batch_bytes: int = 64 << 20
+    # Hard ceiling on bytes held in the host pending queue: ingest drains to
+    # the device until the queue is back under this budget before AddSpans
+    # returns, and fails soft (False) if the device cannot absorb the
+    # overflow.  This is the explicit host-side analog of the reference's
+    # heap-budget accounting for staging batches (MaxBatchCount sums
+    # heapSize/batchSize per heap, Batches.cpp:294-331) — there the budget
+    # is discovered from the driver; here it is a declared policy knob.
+    host_pending_bytes: int = 256 << 20
     backend: str = "auto"
     max_slices_in_flight: int = 8
     # Per-leaf message-block bound for device hashing; longer leaves hash on

@@ -311,6 +311,11 @@ class TpuSha256D(Sha256dEngine):
             while (
                 self._pending.count >= self.config.batch_leaves
                 or self._pending.nbytes >= self.config.batch_bytes
+                # Host memory budget: never return to the caller holding
+                # more pending payload than the declared ceiling (the
+                # Batches.cpp:294-331 heap-accounting analog; see
+                # EngineConfig.host_pending_bytes).
+                or self._pending.nbytes > self.config.host_pending_bytes
             ):
                 if not self._flush_some():
                     event("ingest_failed", reason="device_oom")

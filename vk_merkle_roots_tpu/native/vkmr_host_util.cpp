@@ -19,6 +19,13 @@ inline uint32_t load_be32(const uint8_t* p) {
          uint32_t(p[3]);
 }
 
+// In-place little->big endian conversion of `n` u32 words.  GCC/Clang at
+// -O3 -march=native vectorize the __builtin_bswap32 loop into pshufb/
+// vpshufb over full vector registers — this pass runs at memory speed.
+inline void bswap32_inplace(uint32_t* w, int64_t n) {
+  for (int64_t i = 0; i < n; ++i) w[i] = __builtin_bswap32(w[i]);
+}
+
 }  // namespace
 
 extern "C" {
@@ -31,22 +38,21 @@ void vkmr_pack_bucket(const uint8_t* data, const int64_t* offsets,
                       uint32_t* out) {
   const int64_t words_per = int64_t(nblocks) * 16;
   const int64_t pitch_bytes = int64_t(nblocks) * 64;
-#pragma omp parallel
-  {
-    std::vector<uint8_t> row(static_cast<size_t>(pitch_bytes), 0);
-#pragma omp for schedule(dynamic, 512)
-    for (int64_t i = 0; i < n; ++i) {
-      const int64_t len = lengths[i];
-      std::memset(row.data(), 0, size_t(pitch_bytes));
-      std::memcpy(row.data(), data + offsets[i], size_t(len));
-      row[size_t(len)] = 0x80;
-      const uint64_t bits = uint64_t(len) * 8;
-      for (int i2 = 0; i2 < 8; ++i2)
-        row[size_t(pitch_bytes - 8 + i2)] = uint8_t(bits >> (56 - 8 * i2));
-      uint32_t* orow = out + i * words_per;
-      for (int64_t wIdx = 0; wIdx < words_per; ++wIdx)
-        orow[wIdx] = load_be32(row.data() + 4 * wIdx);
-    }
+  // Build each row directly in the output buffer (payload + 0x80 + zero
+  // fill + bit length as bytes), then byte-swap the row's words in place —
+  // one write + one read-modify-write per byte instead of the former
+  // staging row's three passes, and the swap loop vectorizes.
+#pragma omp parallel for schedule(dynamic, 512)
+  for (int64_t i = 0; i < n; ++i) {
+    const int64_t len = lengths[i];
+    uint8_t* rb = reinterpret_cast<uint8_t*>(out + i * words_per);
+    std::memcpy(rb, data + offsets[i], size_t(len));
+    rb[size_t(len)] = 0x80;
+    std::memset(rb + len + 1, 0, size_t(pitch_bytes - len - 1));
+    const uint64_t bits = uint64_t(len) * 8;
+    for (int i2 = 0; i2 < 8; ++i2)
+      rb[size_t(pitch_bytes - 8 + i2)] = uint8_t(bits >> (56 - 8 * i2));
+    bswap32_inplace(out + i * words_per, words_per);
   }
 }
 
@@ -60,23 +66,22 @@ void vkmr_pack_stream_bucket(const uint8_t* data, const int64_t* offsets,
                              int32_t cap_blocks, uint32_t* out) {
   const int64_t words_per = int64_t(cap_blocks) * 16;
   const int64_t pitch_bytes = int64_t(cap_blocks) * 64;
-#pragma omp parallel
-  {
-    std::vector<uint8_t> row(static_cast<size_t>(pitch_bytes), 0);
-#pragma omp for schedule(dynamic, 16)
-    for (int64_t i = 0; i < n; ++i) {
-      const int64_t len = lengths[i];
-      std::memset(row.data(), 0, size_t(pitch_bytes));
-      std::memcpy(row.data(), data + offsets[i], size_t(len));
-      row[size_t(len)] = 0x80;
-      const int64_t end = ((len + 9 + 63) / 64) * 64;  // real padded bytes
-      const uint64_t bits = uint64_t(len) * 8;
-      for (int i2 = 0; i2 < 8; ++i2)
-        row[size_t(end - 8 + i2)] = uint8_t(bits >> (56 - 8 * i2));
-      uint32_t* orow = out + i * words_per;
-      for (int64_t wIdx = 0; wIdx < words_per; ++wIdx)
-        orow[wIdx] = load_be32(row.data() + 4 * wIdx);
-    }
+  // Same direct-to-output layout as vkmr_pack_bucket; only the real padded
+  // blocks get byte-swapped — the zero rung-padding blocks past `end` are
+  // endian-invariant, and on the 5/4 capacity ladder skipping them saves
+  // up to 20% of the swap pass.
+#pragma omp parallel for schedule(dynamic, 16)
+  for (int64_t i = 0; i < n; ++i) {
+    const int64_t len = lengths[i];
+    uint8_t* rb = reinterpret_cast<uint8_t*>(out + i * words_per);
+    std::memcpy(rb, data + offsets[i], size_t(len));
+    rb[size_t(len)] = 0x80;
+    std::memset(rb + len + 1, 0, size_t(pitch_bytes - len - 1));
+    const int64_t end = ((len + 9 + 63) / 64) * 64;  // real padded bytes
+    const uint64_t bits = uint64_t(len) * 8;
+    for (int i2 = 0; i2 < 8; ++i2)
+      rb[size_t(end - 8 + i2)] = uint8_t(bits >> (56 - 8 * i2));
+    bswap32_inplace(out + i * words_per, end / 4);
   }
 }
 
