@@ -360,6 +360,51 @@ def bench_tail_variant(log2n: int = 10):
     return out
 
 
+def bench_perf_model():
+    """Auditable roofline: jaxpr-traced ALU op counts per compression
+    variant, the measured VPU uint32 issue ceiling (Pallas probe of 16
+    independent chains), and mapping/reduction throughput expressed as a
+    fraction of that ceiling.  This is the derivation behind docs/PERF.md —
+    run it to re-verify every number there on the current chip."""
+    from vk_merkle_roots_tpu.ops.perf_probe import (
+        alu_issue_probe,
+        count_vector_ops,
+        rot_issue_probe,
+    )
+
+    counts = count_vector_ops()
+    probe = alu_issue_probe()
+    ceiling = probe["lane_ops_per_sec"]
+    rot = rot_issue_probe()
+
+    # Measured kernel rates (same shapes as the headline bench).
+    map_sec = bench_leaf_hash(1 << 20, 3)
+    map_leaves_s = (1 << 20) / map_sec
+    map_ops_s = map_leaves_s * counts["leaf_127B"]["total"]
+
+    red_sec = bench_reduce(23)
+    red_nodes_s = ((1 << 23) - 1) / red_sec
+    red_ops_s = red_nodes_s * counts["node_hash"]["total"]
+
+    return {
+        "metric": "perf_model",
+        "alu_probe_lane_ops_per_sec": round(ceiling),
+        "rot_probe_jaxpr_lane_ops_per_sec": round(rot["jaxpr_lane_ops_per_sec"]),
+        "rotate_fusion_ratio": round(rot["jaxpr_lane_ops_per_sec"] / ceiling, 3),
+        "op_counts_per_lane": {k: v["total"] for k, v in counts.items()},
+        "mapping": {
+            "leaves_per_sec": round(map_leaves_s),
+            "lane_ops_per_sec": round(map_ops_s),
+            "fraction_of_probe_ceiling": round(map_ops_s / ceiling, 3),
+        },
+        "reduction": {
+            "node_hashes_per_sec": round(red_nodes_s),
+            "lane_ops_per_sec": round(red_ops_s),
+            "fraction_of_probe_ceiling": round(red_ops_s / ceiling, 3),
+        },
+    }
+
+
 def bench_cpu_engine(n_leaves: int = 1 << 18, leaf_bytes: int = 127):
     """Native CPU engine leaf-hash rate (SHA-NI x2 when available) — the
     reference's serial CPU engine is the comparison point (SURVEY.md §2.1
@@ -445,10 +490,20 @@ def main():
         help="fused in-register tail kernel vs XLA level folds (first TPU "
         "compile of the fused body takes minutes; cached afterwards)",
     )
+    parser.add_argument(
+        "--perf-model",
+        action="store_true",
+        help="auditable roofline: jaxpr op counts + measured VPU issue "
+        "ceiling + mapping/reduction as a fraction of it (docs/PERF.md)",
+    )
     parser.add_argument("--profile", metavar="DIR", default=None, help="write a jax.profiler trace")
     args = parser.parse_args()
 
     enable_persistent_cache()
+
+    if args.perf_model:
+        print(json.dumps(bench_perf_model()))
+        return
 
     if args.scaling:
         print(json.dumps({"metric": "scaling", "rows": bench_scaling()}))
