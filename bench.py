@@ -135,22 +135,29 @@ def bench_leaf_hash_stream(leaf_bytes: int = 65536, n_leaves: int = 2048, iters:
     return n_leaves * leaf_bytes / sec / 1e9
 
 
-def bench_reduce(log2n: int, iters: int = 10):
+def bench_reduce(log2n: int, iters: int = 10, natural: bool = False):
     """Reduction throughput: full tree over 2^log2n digests (the
-    reference's 256 MB reduction benchmark shape at log2n=23)."""
+    reference's 256 MB reduction benchmark shape at log2n=23).
+    ``natural=True`` starts from natural-order rows and includes the
+    factored bit-reversal permutation (the full slice_root dataflow);
+    the default times the fold pipeline alone."""
     import jax
     import jax.numpy as jnp
     from functools import partial
 
-    from vk_merkle_roots_tpu.ops.tree_reduce import reduce_bitrev_body
+    from vk_merkle_roots_tpu.ops.tree_reduce import (
+        reduce_bitrev_body,
+        reduce_natural_body,
+    )
 
     use_pallas = jax.default_backend() == "tpu"
+    reduce_fn = reduce_natural_body if natural else reduce_bitrev_body
 
     @partial(jax.jit, static_argnums=(1,))
     def step(digests, iters):
         def body(_, carry):
             d, acc = carry
-            root = reduce_bitrev_body(d, log2n, use_pallas, not use_pallas)
+            root = reduce_fn(d, log2n, use_pallas, not use_pallas)
             d = d.at[0, 0].add(root[0])
             return (d, acc ^ root[1])
 
@@ -174,20 +181,18 @@ def bench_root_latency(n_leaves: int, leaf_bytes: int):
     from vk_merkle_roots_tpu.utils.bitmath import ceil_log2
     from vk_merkle_roots_tpu.constants import padded_block_count
     from vk_merkle_roots_tpu.ops.leaf_hash import _bucket_hashes
-    from vk_merkle_roots_tpu.ops.tree_reduce import _bitrev, reduce_bitrev_body
+    from vk_merkle_roots_tpu.ops.tree_reduce import reduce_natural_body
 
     nblocks = padded_block_count(leaf_bytes)
     log2n = ceil_log2(n_leaves)
     use_pallas = jax.default_backend() == "tpu"
-    rev = jnp.asarray(_bitrev(log2n))
 
     @partial(jax.jit, static_argnums=(1,))
     def step(words, iters):
         def body(_, carry):
             w, acc = carry
             d = _bucket_hashes(w, nblocks, use_pallas, not use_pallas)
-            fold = jnp.take(d, rev, axis=0)
-            root = reduce_bitrev_body(fold, log2n, use_pallas, not use_pallas)
+            root = reduce_natural_body(d, log2n, use_pallas, not use_pallas)
             w = w.at[0, 0].add(root[0])
             return (w, acc ^ root[1])
 
@@ -211,13 +216,12 @@ def bench_stream_pipeline(slice_log2: int = 20, batch_log2: int = 16, n_slices: 
     from functools import partial
 
     from vk_merkle_roots_tpu.ops.leaf_hash import _bucket_hashes
-    from vk_merkle_roots_tpu.ops.tree_reduce import _bitrev, reduce_bitrev_body
+    from vk_merkle_roots_tpu.ops.tree_reduce import reduce_natural_body
 
     nblocks = 3  # 127-byte leaves
     cap = 1 << slice_log2
     batch = 1 << batch_log2
     use_pallas = jax.default_backend() == "tpu"
-    rev = jnp.asarray(_bitrev(slice_log2))
 
     @jax.jit
     def slice_pipeline(words, buf):
@@ -231,9 +235,7 @@ def bench_stream_pipeline(slice_log2: int = 20, batch_log2: int = 16, n_slices: 
             return jax.lax.dynamic_update_slice(b, digs, (i * batch, 0))
 
         buf = jax.lax.fori_loop(0, cap // batch, body, buf)
-        root = reduce_bitrev_body(
-            jnp.take(buf, rev, axis=0), slice_log2, use_pallas, not use_pallas
-        )
+        root = reduce_natural_body(buf, slice_log2, use_pallas, not use_pallas)
         return buf, root
 
     @partial(jax.jit, static_argnums=(2,))
@@ -529,6 +531,9 @@ def main():
     red_sec = bench_reduce(23)
     red_gbps = (1 << 23) * 32 / red_sec / 1e9
     red_nodes_per_s = ((1 << 23) - 1) / red_sec
+    # Same shape but from natural-order rows (includes the factored bitrev
+    # permutation — the full slice_root dataflow).
+    red_nat_gbps = (1 << 23) * 32 / bench_reduce(23, natural=True) / 1e9
 
     stream_map_gbps = bench_leaf_hash_stream()
     lat_sec = bench_root_latency(1 << 20, 127)
@@ -549,6 +554,7 @@ def main():
             "leaf_hashes_per_sec": round(leaf_hashes_per_s),
             "leaf_shape": f"2^20 x {leaf_bytes}B",
             "reduction_GBps_2^23_digests": round(red_gbps, 3),
+            "reduction_natural_GBps_2^23": round(red_nat_gbps, 3),
             "reduction_vs_best_baseline": round(red_gbps / base_red_gbps, 2),
             "reduction_node_hashes_per_sec": round(red_nodes_per_s),
             "mapping_GBps_64KB_leaves_stream": round(stream_map_gbps, 3),

@@ -7,7 +7,10 @@ import pytest
 
 from vk_merkle_roots_tpu import oracle
 from vk_merkle_roots_tpu.ops.tree_reduce import (
+    _bitrev,
+    bitrev_fold_words,
     merkle_root_of_digest_rows,
+    reduce_natural_body,
     reduce_perfect_block,
     slice_root,
 )
@@ -37,6 +40,30 @@ def test_ragged_slice_phantom_height(rng, count, height):
 def test_plain_merkle_root(rng, count):
     d, raw = _digest_rows(rng, count)
     got = merkle_root_of_digest_rows(jnp.asarray(d), count, "xla")
+    assert got == oracle.merkle_root_of_digests(raw)
+
+
+# Sizes straddle _BITREV_FACTOR_MIN_LOG2 (=10): below uses the single
+# row gather, at/above the factored axis-gather form; 11 and 13 are odd
+# splits (a != b).
+@pytest.mark.parametrize("log2n", [1, 4, 9, 10, 11, 12, 13])
+def test_factored_bitrev_matches_gather(rng, log2n):
+    n = 1 << log2n
+    d = rng.integers(0, 2**32, size=(n, 8), dtype=np.uint32)
+    want = d[_bitrev(log2n)].T
+    got = np.asarray(bitrev_fold_words(jnp.asarray(d), log2n))
+    assert np.array_equal(got, want)
+
+
+@pytest.mark.parametrize("log2n", [0, 3, 11])
+def test_reduce_natural_body(rng, log2n):
+    d, raw = _digest_rows(rng, 1 << log2n)
+    if log2n == 0:
+        got = words_to_digest(np.asarray(jnp.asarray(d)[0]))
+    else:
+        got = words_to_digest(
+            np.asarray(reduce_natural_body(jnp.asarray(d), log2n, False, True))
+        )
     assert got == oracle.merkle_root_of_digests(raw)
 
 

@@ -9,13 +9,12 @@ dataset, SHA-256vk.cpp:288-313)."""
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from ..packing import pack_leaves
 from ..utils.bitmath import ceil_log2, is_pow2
 from .leaf_hash import _bucket_hashes, leaf_hashes
-from .tree_reduce import _bitrev, merkle_root_of_digest_rows, reduce_bitrev_body
+from .tree_reduce import merkle_root_of_digest_rows, reduce_natural_body
 
 
 def merkle_root_device(leaves: list[bytes], backend: str = "auto") -> bytes:
@@ -40,14 +39,14 @@ def fused_root_fn(n_leaves: int, nblocks: int, backend: str = "auto"):
     log2n = ceil_log2(n_leaves) if n_leaves > 1 else 0
     interpret = jax.default_backend() != "tpu"
     use_pallas = backend == "pallas" or (backend == "auto" and not interpret)
-    rev = jnp.asarray(_bitrev(log2n)) if log2n else None
 
     def step(words):
         digests = _bucket_hashes(words, nblocks, use_pallas, interpret)
         if log2n == 0:
             return digests[0]
-        fold = jnp.take(digests, rev, axis=0)
-        return reduce_bitrev_body(fold, log2n, use_pallas, interpret)
+        # Factored bit-reversal: the monolithic row gather was the largest
+        # single overhead in the fused step (see bitrev_fold_words).
+        return reduce_natural_body(digests, log2n, use_pallas, interpret)
 
     return step
 

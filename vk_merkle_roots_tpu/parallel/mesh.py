@@ -85,13 +85,11 @@ def make_sharded_reduce_fn(mesh: Mesh, log2n: int, backend: str = "auto"):
     log2dev = ceil_log2(ndev) if ndev > 1 else 0
     interpret = jax.default_backend() != "tpu"
     use_pallas = backend == "pallas" or (backend == "auto" and not interpret)
-    rev_local = jnp.asarray(_tr._bitrev(log2per)) if log2per else None
     rev_dev = jnp.asarray(_tr._bitrev(log2dev)) if log2dev else None
 
     def local_step(digests_shard):
         if log2per:
-            fold = jnp.take(digests_shard, rev_local, axis=0)
-            root = _tr.reduce_bitrev_body(fold, log2per, use_pallas, interpret)
+            root = _tr.reduce_natural_body(digests_shard, log2per, use_pallas, interpret)
         else:
             root = digests_shard[0]
         return _merge_local_roots(root, log2dev, rev_dev)
@@ -136,14 +134,12 @@ def make_sharded_root_fn(mesh: Mesh, n_leaves: int, nblocks: int, backend: str =
     log2dev = ceil_log2(ndev) if ndev > 1 else 0
     interpret = jax.default_backend() != "tpu"
     use_pallas = backend == "pallas" or (backend == "auto" and not interpret)
-    rev_local = jnp.asarray(_tr._bitrev(log2per)) if log2per else None
     rev_dev = jnp.asarray(_tr._bitrev(log2dev)) if log2dev else None
 
     def local_step(words_shard):
         digests = _lh._bucket_hashes(words_shard, nblocks, use_pallas, interpret)
         if log2per:
-            fold = jnp.take(digests, rev_local, axis=0)
-            root = _tr.reduce_bitrev_body(fold, log2per, use_pallas, interpret)
+            root = _tr.reduce_natural_body(digests, log2per, use_pallas, interpret)
         else:
             root = digests[0]
         if not log2dev:
