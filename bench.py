@@ -99,7 +99,7 @@ def bench_leaf_hash(n_leaves: int, nblocks: int, iters: int = 20):
     return sec
 
 
-def bench_leaf_hash_stream(leaf_bytes: int = 65536, n_leaves: int = 2048, iters: int = 4):
+def bench_leaf_hash_stream(leaf_bytes: int = 65536, n_leaves: int = 2048, iters: int = 16):
     """Long-leaf mapping throughput via the block-loop stream kernel — the
     path the reference serves with its data-dependent per-string block loop
     (SHA-256.comp:207-285); round 1 routed these to the host and collapsed
