@@ -51,12 +51,14 @@ class EngineConfig:
     # tile and the serial host SHA-NI is honestly faster.  It also bounds
     # the packed row pitch (HBM per tile = 64 KB x blocks).
     device_max_blocks: int = 2048
-    # Sample true per-op device time for 1-in-N map/reduce ops: drain the
-    # dispatch queue (tiny readback), run the op, block on its result, and
-    # record the bracketed time.  This is the QueryPoolTimers role
-    # (/root/reference/src/vkmr/QueryPoolTimers.cpp:52-93) — per-op device
-    # execution ms — paid for by serializing the async pipeline at each
-    # sample point, hence the cadence.  0 disables.
+    # Sample true device execution time for 1-in-N flushes (map) and
+    # 1-in-(N/8) slice reductions: drain the dispatch queue (tiny readback),
+    # run the work, block on its result, and record the bracketed time.
+    # This is the QueryPoolTimers role (/root/reference/src/vkmr/
+    # QueryPoolTimers.cpp:52-93) — per-op device execution ms — paid for by
+    # serializing the async pipeline at each sample point, hence the
+    # cadence.  A whole flush (up to batch_leaves) is bracketed per sample
+    # so the sync round-trip amortizes.  0 disables.
     stats_sample_every: int = 16
     # MESH engine: reduce each full slice via shard_map across the device
     # mesh (per-chip aligned subtrees + one 32 B/chip all_gather + replicated

@@ -374,33 +374,37 @@ class TpuSha256D(Sha256dEngine):
         append = _append_fn()
         every = self.config.stats_sample_every
         done = 0
+        # True per-op device time (the QueryPoolTimers.cpp:52-93 role):
+        # every Nth flush, drain the async queue, then bracket this WHOLE
+        # flush's device work to completion.  A tiny readback is the sync
+        # primitive — reliable even where block_until_ready is not
+        # (remote-device plugins).  Bracketing the flush rather than one
+        # chunk amortizes the sync round-trip over up to batch_cap leaves
+        # (through a remote tunnel the RTT would otherwise floor any
+        # single-chunk sample).
+        self._map_ops += 1
+        sample = every and self._map_ops % every == 0
+        if sample:
+            np.asarray(self._buf[0, :1])
+            sw_dev = StopWatch()
+            sampled_bytes = 0
         try:
             for data, offs, lens in chunks:
                 packed = pack_spans(data, offs, lens, self.config.device_max_blocks)
                 t_pack = sw.Elapsed()
                 self.times.add("pack", t_pack, int(lens.sum()), throughput=True)
                 sw.Start()
-                self._map_ops += 1
-                sample = every and self._map_ops % every == 0
-                if sample:
-                    # True per-op device time (QueryPoolTimers.cpp:52-93
-                    # role): drain the async queue, then bracket THIS op to
-                    # completion.  A tiny readback is the sync primitive —
-                    # reliable even where block_until_ready is not
-                    # (remote-device plugins).
-                    np.asarray(self._buf[0, :1])
-                    sw_dev = StopWatch()
                 digs = self._hash_packed(packed)
                 self._buf = append(self._buf, digs, np.int32(self._fill))
                 self._fill += packed.count
                 done += 1
                 if sample:
-                    np.asarray(self._buf[0, :1])
-                    self.times.add(
-                        "map_device", sw_dev.Elapsed(), int(lens.sum()), throughput=True
-                    )
+                    sampled_bytes += int(lens.sum())
                 self.times.add("map_dispatch", sw.Elapsed(), int(lens.sum()))
                 sw.Start()
+            if sample and done:
+                np.asarray(self._buf[0, :1])
+                self.times.add("map_device", sw_dev.Elapsed(), sampled_bytes, throughput=True)
         except Exception as exc:
             if not _is_oom(exc):
                 raise
