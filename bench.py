@@ -287,18 +287,23 @@ def bench_stream_pipeline(slice_log2: int = 20, batch_log2: int = 16, n_slices: 
 
 def bench_host_pack(n_leaves: int = 1 << 18, maxlen: int = 1024):
     """Host-side packing throughput over variable-length leaves (BASELINE
-    config "variable-length leaves — padding/bucketing path")."""
+    config "variable-length leaves — padding/bucketing path").  Sustained
+    rate: one warm-up run (ctypes load + first-touch page faults on ~200 MB
+    of fresh output buffers cost ~5x on the first call), then the median of
+    three — what a long-running stream's staging path actually sees."""
     from vk_merkle_roots_tpu.packing import pack_spans
 
     rng = np.random.default_rng(5)
     lens = rng.integers(1, maxlen + 1, size=n_leaves)
     offs = np.concatenate(([0], np.cumsum(lens)[:-1]))
     data = rng.integers(0, 256, size=int(lens.sum()), dtype=np.uint8)
-    t0 = time.perf_counter()
-    packed = pack_spans(data, offs, lens)
-    sec = time.perf_counter() - t0
-    assert packed.count == n_leaves
-    return int(lens.sum()) / sec / 1e6  # MB/s
+    assert pack_spans(data, offs, lens).count == n_leaves  # warm-up
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        pack_spans(data, offs, lens)
+        times.append(time.perf_counter() - t0)
+    return int(lens.sum()) / float(np.median(times)) / 1e6  # MB/s
 
 
 def bench_tail_variant(log2n: int = 10):

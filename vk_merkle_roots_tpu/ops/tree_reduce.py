@@ -69,34 +69,45 @@ def _use_interpret() -> bool:
 # ---------------------------------------------------------------- big levels
 
 
+# Tiles hashed per fold grid step.  One tile is only ~2.9 us of VPU work;
+# at B=1 the fixed per-grid-step cost (DMA window swaps, semaphores) eats
+# ~35% of the level — measured 13.3 GB/s (B=1) vs 20.8 GB/s (B=8) on the
+# 2^23-digest tree, with B=16 regressing (VMEM pressure).  The kernel body
+# is ONE node_hash traced on (b, 8, 128) operands, so larger B means larger
+# vector shapes, not more Mosaic code.
+FOLD_BLOCK_TILES = 8
+
+
 def _fold_kernel(l_ref, r_ref, o_ref):
-    """One tree level for one output tile: 1024 node hashes.
-    Blocks: (8, 1, 8, 128) digest words; L tile i pairs with R tile i+T/2."""
-    left = tuple(l_ref[j, 0] for j in range(8))
-    right = tuple(r_ref[j, 0] for j in range(8))
+    """One tree level for one output block of b tiles: b*1024 node hashes.
+    Blocks: (8, b, 8, 128) digest words; L block i pairs with R block
+    i + T_out/b."""
+    left = tuple(l_ref[j] for j in range(8))
+    right = tuple(r_ref[j] for j in range(8))
     out = sha256_core.node_hash_words(left, right)
     for j in range(8):
-        o_ref[j, 0] = out[j]
+        o_ref[j] = out[j]
 
 
 def _fold_level_pallas(x, interpret: bool):
     """(8, T, 8, 128) -> (8, T/2, 8, 128); requires T even."""
     t_out = x.shape[1] // 2
+    b = min(FOLD_BLOCK_TILES, t_out)  # both are powers of two, so b | t_out
     return pl.pallas_call(
         _fold_kernel,
-        grid=(t_out,),
+        grid=(t_out // b,),
         in_specs=[
             pl.BlockSpec(
-                (8, 1, TILE_SUB, TILE_LANE), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM
+                (8, b, TILE_SUB, TILE_LANE), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (8, 1, TILE_SUB, TILE_LANE),
-                lambda i, t_out=t_out: (0, i + t_out, 0, 0),
+                (8, b, TILE_SUB, TILE_LANE),
+                lambda i, o=t_out // b: (0, i + o, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (8, 1, TILE_SUB, TILE_LANE), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM
+            (8, b, TILE_SUB, TILE_LANE), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((8, t_out, TILE_SUB, TILE_LANE), jnp.uint32),
         interpret=interpret,
