@@ -70,32 +70,34 @@ def _timed_loop(step_fn, init, iters: int) -> float:
 
 
 def bench_leaf_hash(n_leaves: int, nblocks: int, iters: int = 20):
-    """Mapping throughput: one bucket of fixed-size leaves."""
+    """Mapping throughput: one bucket of fixed-size leaves, in the tile-major
+    wire format the host packer emits (the kernel's real input — round 2's
+    leaf-major rows paid an on-device transpose this format eliminates)."""
     import jax
     import jax.numpy as jnp
     from functools import partial
 
-    from vk_merkle_roots_tpu.ops.leaf_hash import _bucket_hashes
+    from vk_merkle_roots_tpu.ops.leaf_hash import TILE, _bucket_hashes
 
     use_pallas = jax.default_backend() == "tpu"
 
     @partial(jax.jit, static_argnums=(1,))
-    def step(words, iters):
+    def step(tiles, iters):
         def body(_, carry):
             w, acc = carry
             d = _bucket_hashes(w, nblocks, use_pallas, not use_pallas)
             # Dependency chain: fold one digest word back into the input.
-            w = w.at[0, 0].add(d[0, 0])
-            return (w, acc ^ d[0, 1])
+            w = w.at[0, 0, 0, 0].add(d[0, 0])
+            return (w, acc ^ d[1, 0])
 
-        w, acc = jax.lax.fori_loop(0, iters, body, (words, jnp.uint32(0)))
+        w, acc = jax.lax.fori_loop(0, iters, body, (tiles, jnp.uint32(0)))
         return w, acc
 
     key = jax.random.PRNGKey(0)
-    words = jax.random.randint(key, (n_leaves, nblocks * 16), 0, 1 << 30, dtype=jnp.int32).astype(
-        jnp.uint32
-    )
-    sec = _timed_loop(step, words, iters)
+    tiles = jax.random.randint(
+        key, (n_leaves // TILE, nblocks * 16, 8, 128), 0, 1 << 30, dtype=jnp.int32
+    ).astype(jnp.uint32)
+    sec = _timed_loop(step, tiles, iters)
     return sec
 
 
@@ -117,41 +119,45 @@ def bench_leaf_hash_stream(leaf_bytes: int = 65536, n_leaves: int = 2048, iters:
     cap = stream_capacity(nb)
     counts = jnp.full((n_leaves,), nb, jnp.int32)
 
+    from vk_merkle_roots_tpu.ops.leaf_hash import TILE
+
     @partial(jax.jit, static_argnums=(1,))
-    def step(words, iters):
+    def step(tiles, iters):
         def body(_, carry):
             w, acc = carry
             d = _stream_bucket_hashes(w, counts, cap, use_pallas, not use_pallas)
-            w = w.at[0, 0].add(d[0, 0])
-            return (w, acc ^ d[0, 1])
+            w = w.at[0, 0, 0, 0].add(d[0, 0])
+            return (w, acc ^ d[1, 0])
 
-        return jax.lax.fori_loop(0, iters, body, (words, jnp.uint32(0)))
+        return jax.lax.fori_loop(0, iters, body, (tiles, jnp.uint32(0)))
 
     key = jax.random.PRNGKey(3)
-    words = jax.random.randint(key, (n_leaves, cap * 16), 0, 1 << 30, dtype=jnp.int32).astype(
-        jnp.uint32
-    )
-    sec = _timed_loop(step, words, iters)
+    tiles = jax.random.randint(
+        key, (n_leaves // TILE, cap * 16, 8, 128), 0, 1 << 30, dtype=jnp.int32
+    ).astype(jnp.uint32)
+    sec = _timed_loop(step, tiles, iters)
     return n_leaves * leaf_bytes / sec / 1e9
 
 
 def bench_reduce(log2n: int, iters: int = 10, natural: bool = False):
     """Reduction throughput: full tree over 2^log2n digests (the
-    reference's 256 MB reduction benchmark shape at log2n=23).
-    ``natural=True`` starts from natural-order rows and includes the
-    factored bit-reversal permutation (the full slice_root dataflow);
-    the default times the fold pipeline alone."""
+    reference's 256 MB reduction benchmark shape at log2n=23), from
+    word-major digest columns — the layout the mapping stage actually
+    leaves in HBM.  ``natural=True`` starts from natural-order columns and
+    includes the factored bit-reversal permutation (the full slice_root
+    dataflow); the default times the fold pipeline alone (input already
+    bit-reversed)."""
     import jax
     import jax.numpy as jnp
     from functools import partial
 
     from vk_merkle_roots_tpu.ops.tree_reduce import (
-        reduce_bitrev_body,
         reduce_natural_body,
+        reduce_words_body,
     )
 
     use_pallas = jax.default_backend() == "tpu"
-    reduce_fn = reduce_natural_body if natural else reduce_bitrev_body
+    reduce_fn = reduce_natural_body if natural else reduce_words_body
 
     @partial(jax.jit, static_argnums=(1,))
     def step(digests, iters):
@@ -165,7 +171,7 @@ def bench_reduce(log2n: int, iters: int = 10, natural: bool = False):
         return d, acc
 
     key = jax.random.PRNGKey(1)
-    digests = jax.random.randint(key, (1 << log2n, 8), 0, 1 << 30, dtype=jnp.int32).astype(
+    digests = jax.random.randint(key, (8, 1 << log2n), 0, 1 << 30, dtype=jnp.int32).astype(
         jnp.uint32
     )
     sec = _timed_loop(step, digests, iters)
@@ -183,26 +189,28 @@ def bench_root_latency(n_leaves: int, leaf_bytes: int):
     from vk_merkle_roots_tpu.ops.leaf_hash import _bucket_hashes
     from vk_merkle_roots_tpu.ops.tree_reduce import reduce_natural_body
 
+    from vk_merkle_roots_tpu.ops.leaf_hash import TILE
+
     nblocks = padded_block_count(leaf_bytes)
     log2n = ceil_log2(n_leaves)
     use_pallas = jax.default_backend() == "tpu"
 
     @partial(jax.jit, static_argnums=(1,))
-    def step(words, iters):
+    def step(tiles, iters):
         def body(_, carry):
             w, acc = carry
             d = _bucket_hashes(w, nblocks, use_pallas, not use_pallas)
             root = reduce_natural_body(d, log2n, use_pallas, not use_pallas)
-            w = w.at[0, 0].add(root[0])
+            w = w.at[0, 0, 0, 0].add(root[0])
             return (w, acc ^ root[1])
 
-        return jax.lax.fori_loop(0, iters, body, (words, jnp.uint32(0)))
+        return jax.lax.fori_loop(0, iters, body, (tiles, jnp.uint32(0)))
 
     key = jax.random.PRNGKey(2)
-    words = jax.random.randint(key, (n_leaves, nblocks * 16), 0, 1 << 30, dtype=jnp.int32).astype(
-        jnp.uint32
-    )
-    return _timed_loop(step, words, iters=5)
+    tiles = jax.random.randint(
+        key, (n_leaves // TILE, nblocks * 16, 8, 128), 0, 1 << 30, dtype=jnp.int32
+    ).astype(jnp.uint32)
+    return _timed_loop(step, tiles, iters=5)
 
 
 def bench_stream_pipeline(slice_log2: int = 20, batch_log2: int = 16, n_slices: int = 4):
@@ -215,7 +223,7 @@ def bench_stream_pipeline(slice_log2: int = 20, batch_log2: int = 16, n_slices: 
     import jax.numpy as jnp
     from functools import partial
 
-    from vk_merkle_roots_tpu.ops.leaf_hash import _bucket_hashes
+    from vk_merkle_roots_tpu.ops.leaf_hash import TILE, _bucket_hashes
     from vk_merkle_roots_tpu.ops.tree_reduce import reduce_natural_body
 
     nblocks = 3  # 127-byte leaves
@@ -224,37 +232,37 @@ def bench_stream_pipeline(slice_log2: int = 20, batch_log2: int = 16, n_slices: 
     use_pallas = jax.default_backend() == "tpu"
 
     @jax.jit
-    def slice_pipeline(words, buf):
+    def slice_pipeline(tiles, buf):
         # One whole slice: cap/batch dependent batch-hash+append steps, then
         # the full tree reduce — exactly the engine's per-slice dataflow in a
         # single dispatch (per-call dispatch RTT through the development
         # tunnel would otherwise dominate).
         def body(i, b):
-            w = words.at[0, 0].add(i.astype(jnp.uint32))
+            w = tiles.at[0, 0, 0, 0].add(i.astype(jnp.uint32))
             digs = _bucket_hashes(w, nblocks, use_pallas, not use_pallas)
-            return jax.lax.dynamic_update_slice(b, digs, (i * batch, 0))
+            return jax.lax.dynamic_update_slice(b, digs, (0, i * batch))
 
         buf = jax.lax.fori_loop(0, cap // batch, body, buf)
         root = reduce_natural_body(buf, slice_log2, use_pallas, not use_pallas)
         return buf, root
 
     @partial(jax.jit, static_argnums=(2,))
-    def stream(words, buf, n):
+    def stream(tiles, buf, n):
         # The whole stream in one dispatch: per-call RTT through the
         # development tunnel (~35-100 ms) would otherwise swamp the
         # ~10 ms/slice of real device work.
         def slice_body(s, carry):
             b, acc = carry
-            b, root = slice_pipeline(words.at[0, 1].add(s.astype(jnp.uint32)), b)
+            b, root = slice_pipeline(tiles.at[0, 1, 0, 0].add(s.astype(jnp.uint32)), b)
             return (b, acc ^ root)
 
         return jax.lax.fori_loop(0, n, slice_body, (buf, jnp.zeros(8, jnp.uint32)))
 
     key = jax.random.PRNGKey(4)
-    words = jax.random.randint(key, (batch, nblocks * 16), 0, 1 << 30, dtype=jnp.int32).astype(
-        jnp.uint32
-    )
-    buf = jnp.zeros((cap, 8), jnp.uint32)
+    words = jax.random.randint(
+        key, (batch // TILE, nblocks * 16, 8, 128), 0, 1 << 30, dtype=jnp.int32
+    ).astype(jnp.uint32)
+    buf = jnp.zeros((8, cap), jnp.uint32)
     # Warm/compile BOTH static-n programs before timing (n is a static arg:
     # each value is a separate compilation, and a compile inside the timed
     # region would swamp the ~10 ms/slice of device work).
@@ -454,7 +462,10 @@ def bench_scaling(mesh_sizes=None, n_leaves_per_dev: int = 1 << 16, leaf_bytes: 
         fn = make_sharded_root_fn(mesh, n_leaves, nblocks)
         rng = np.random.default_rng(3)
         words = shard_words(
-            mesh, rng.integers(0, 1 << 32, size=(n_leaves, nblocks * 16), dtype=np.uint32)
+            mesh,
+            rng.integers(
+                0, 1 << 32, size=(n_leaves // 1024, nblocks * 16, 8, 128), dtype=np.uint32
+            ),
         )
 
         # Dependent-loop timing with RTT baseline (same discipline as
@@ -465,7 +476,7 @@ def bench_scaling(mesh_sizes=None, n_leaves_per_dev: int = 1 << 16, leaf_bytes: 
             def body(_, carry):
                 w, acc = carry
                 root = fn(w)
-                w = w.at[0, 0].add(root[0])
+                w = w.at[0, 0, 0, 0].add(root[0])
                 return (w, acc ^ root[1])
 
             return jax.lax.fori_loop(0, iters, body, (w, jnp.uint32(0)))

@@ -27,10 +27,10 @@ def _free_port() -> int:
 @pytest.mark.slow
 def test_two_process_sharded_root(tmp_path):
     """Spawn 2 processes x 4 virtual CPU devices; each contributes its shard
-    of a deterministic 512-leaf stream; both must print the oracle root for
+    of a deterministic 8192-leaf stream; both must print the oracle root for
     the sharded hash+reduce AND the digest-level sharded reduction."""
     port = _free_port()
-    n_leaves, leaf_bytes, seed = 512, 24, 7
+    n_leaves, leaf_bytes, seed = 8192, 24, 7
     env = {
         k: v
         for k, v in os.environ.items()

@@ -14,7 +14,7 @@ from tests.conftest import random_leaves
 
 def _check(leaves, backend="xla"):
     packed = pack_leaves(leaves)
-    digs = np.asarray(leaf_hashes(packed, backend=backend))[: packed.count]
+    digs = np.asarray(leaf_hashes(packed, backend=backend)).T[: packed.count]
     for i, leaf in enumerate(leaves):
         assert words_to_digest(digs[i]) == oracle.leaf_hash(leaf), f"leaf {i}"
 
@@ -59,7 +59,7 @@ def test_host_routed_long_leaves_keep_order(rng):
     packed = pack_spans(data, offsets, lengths, max_device_blocks=8)
     assert packed.host_spans is not None
     assert {b.nblocks for b in packed.buckets} == {1, 2}
-    digs = np.asarray(leaf_hashes(packed, backend="xla"))[: packed.count]
+    digs = np.asarray(leaf_hashes(packed, backend="xla")).T[: packed.count]
     for i, leaf in enumerate(leaves):
         assert words_to_digest(digs[i]) == oracle.leaf_hash(leaf), f"leaf {i}"
 
@@ -73,17 +73,18 @@ def test_all_host_routed(rng):
     data = np.frombuffer(b"".join(leaves), np.uint8)
     packed = pack_spans(data, offsets, lengths, max_device_blocks=8)
     assert not packed.buckets and packed.host_spans is not None
-    digs = np.asarray(leaf_hashes(packed, backend="xla"))[: packed.count]
+    digs = np.asarray(leaf_hashes(packed, backend="xla")).T[: packed.count]
     for i, leaf in enumerate(leaves):
         assert words_to_digest(digs[i]) == oracle.leaf_hash(leaf)
 
 
-def test_quantized_output_rows(rng):
+def test_quantized_output_cols(rng):
     leaves = random_leaves(rng, 70, maxlen=30)
     packed = pack_leaves(leaves)
     out = leaf_hashes(packed, backend="xla")
-    assert out.shape[0] >= packed.count
-    assert out.shape[0] & (out.shape[0] - 1) == 0  # power of two
+    assert out.shape[0] == 8  # word-major digest columns
+    assert out.shape[1] >= packed.count
+    assert out.shape[1] & (out.shape[1] - 1) == 0  # power of two
 
 
 def test_stream_bucket_structure(rng):
@@ -98,7 +99,9 @@ def test_stream_bucket_structure(rng):
     for b in stream:
         assert b.nblocks > UNROLL_MAX_BLOCKS
         assert (b.counts <= b.nblocks).all() and (b.counts > UNROLL_MAX_BLOCKS).all()
-        assert b.words.shape == (b.count, b.nblocks * 16)
+        from vk_merkle_roots_tpu.packing import quantized_tiles
+
+        assert b.words.shape == (quantized_tiles(b.count), b.nblocks * 16, 8, 128)
     for nb in (9, 17, 100, 1025, 8000):
         cap = stream_capacity(nb)
         assert cap >= nb and cap <= max(-(-nb * 5) // 4, 16), (nb, cap)
@@ -126,6 +129,6 @@ def test_stream_mixed_with_exact_and_host(rng):
     assert packed.host_spans is not None  # the 200_000-byte leaf
     assert any(b.counts is not None for b in packed.buckets)
     assert any(b.counts is None for b in packed.buckets)
-    digs = np.asarray(leaf_hashes(packed, backend="xla"))[: packed.count]
+    digs = np.asarray(leaf_hashes(packed, backend="xla")).T[: packed.count]
     for i, leaf in enumerate(leaves):
         assert words_to_digest(digs[i]) == oracle.leaf_hash(leaf), f"leaf {i}"

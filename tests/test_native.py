@@ -46,11 +46,13 @@ def test_pack_bucket_matches_numpy(rng):
     for length in (0, 1, 55, 56, 64, 127, 200):
         leaf = rng.integers(0, 256, length, np.uint8).tobytes()
         data = np.frombuffer(leaf, np.uint8) if leaf else np.zeros(0, np.uint8)
-        out = nl.native_pack_bucket(
-            data, np.zeros(1, np.int64), np.array([length], np.int64),
-            (length + 9 + 63) // 64,
+        nb = (length + 9 + 63) // 64
+        out = nl.native_pack_bucket_tiles(
+            data, np.zeros(1, np.int64), np.array([length], np.int64), nb, 1,
         )
-        np.testing.assert_array_equal(out[0], reference_padded_words(leaf))
+        assert out.shape == (1, nb * 16, 8, 128)
+        np.testing.assert_array_equal(out[0, :, 0, 0], reference_padded_words(leaf))
+        assert not out[0, :, 0, 1:].any() and not out[0, :, 1:].any()
 
 
 def test_rndm_stream_matches_python():

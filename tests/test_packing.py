@@ -24,7 +24,7 @@ def test_padding_matches_reference_scalar(rng, length):
     assert len(packed.buckets) == 1
     b = packed.buckets[0]
     assert b.nblocks == padded_block_count(length)
-    np.testing.assert_array_equal(b.words[0], reference_padded_words(leaf))
+    np.testing.assert_array_equal(b.leaf_words(0), reference_padded_words(leaf))
 
 
 def test_bucketing_and_order(rng):
@@ -38,12 +38,12 @@ def test_bucketing_and_order(rng):
     # order/inverse_order are mutually inverse permutations
     assert sorted(packed.order.tolist()) == list(range(5))
     np.testing.assert_array_equal(packed.order[packed.inverse_order], np.arange(5))
-    # Row content of a specific leaf survives the permutation
-    rows = np.concatenate([b.words for b in packed.buckets if b.nblocks == 2])
-    d_row = packed.inverse_order[1]  # leaf "b"*100 is original index 1
+    # Word content of a specific leaf survives the permutation
+    bucket2 = [b for b in packed.buckets if b.nblocks == 2][0]
+    d_row = int(packed.inverse_order[1])  # leaf "b"*100 is original index 1
     base = packed.buckets[0].count  # concat offset of the nblocks=2 bucket
     np.testing.assert_array_equal(
-        rows[d_row - base], reference_padded_words(b"b" * 100)
+        bucket2.leaf_words(d_row - base), reference_padded_words(b"b" * 100)
     )
 
 

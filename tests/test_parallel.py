@@ -25,7 +25,7 @@ def mesh8():
     return make_mesh(devices=devs, n_devices=8)
 
 
-@pytest.mark.parametrize("n_leaves", [8, 512, 2048])
+@pytest.mark.parametrize("n_leaves", [1024, 8192, 16384])
 def test_sharded_root_matches_oracle(rng, mesh8, n_leaves):
     leaves = _fixed_leaves(rng, n_leaves)
     packed = pack_leaves(leaves)
@@ -39,9 +39,9 @@ def test_two_device_mesh(rng):
     import jax
 
     mesh = make_mesh(devices=jax.devices(), n_devices=2)
-    leaves = _fixed_leaves(rng, 256)
+    leaves = _fixed_leaves(rng, 2048)
     packed = pack_leaves(leaves)
-    fn = make_sharded_root_fn(mesh, 256, nblocks=1, backend="xla")
+    fn = make_sharded_root_fn(mesh, 2048, nblocks=1, backend="xla")
     root = words_to_digest(np.asarray(fn(shard_words(mesh, packed.buckets[0].words))))
     assert root == oracle.merkle_root(leaves)
 
@@ -50,9 +50,9 @@ def test_single_device_mesh_degenerates(rng):
     import jax
 
     mesh = make_mesh(devices=jax.devices(), n_devices=1)
-    leaves = _fixed_leaves(rng, 64)
+    leaves = _fixed_leaves(rng, 1024)
     packed = pack_leaves(leaves)
-    fn = make_sharded_root_fn(mesh, 64, nblocks=1, backend="xla")
+    fn = make_sharded_root_fn(mesh, 1024, nblocks=1, backend="xla")
     root = words_to_digest(np.asarray(fn(shard_words(mesh, packed.buckets[0].words))))
     assert root == oracle.merkle_root(leaves)
 
@@ -60,6 +60,10 @@ def test_single_device_mesh_degenerates(rng):
 def test_invalid_shapes_rejected(mesh8):
     with pytest.raises(ValueError):
         make_sharded_root_fn(mesh8, 100, nblocks=1)  # not a power of two
+    with pytest.raises(ValueError):
+        # Sub-1024 counts pad the single tile, so shards would cover a
+        # different leaf range than the tree assigns their device.
+        make_sharded_root_fn(mesh8, 512, nblocks=1)
 
 
 def test_dryrun_multichip_entrypoint():
@@ -87,6 +91,6 @@ def test_sharded_reduce_fn_matches_oracle(rng):
     digs = rng.integers(0, 1 << 32, size=(n, 8), dtype=np.uint32)
     mesh = make_mesh(n_devices=8)
     fn = make_sharded_reduce_fn(mesh, log2n)
-    got = words_to_digest(np.asarray(fn(shard_digests(mesh, jnp.asarray(digs)))))
+    got = words_to_digest(np.asarray(fn(shard_digests(mesh, jnp.asarray(digs.T)))))
     want = oracle.merkle_root_of_digests([words_to_digest(digs[i]) for i in range(n)])
     assert got == want

@@ -44,7 +44,7 @@ def test_pack_spans_matches_scalar_padding(leaves, max_device_blocks):
     rows_by_leaf = {}
     for b in packed.buckets:
         for r in range(b.count):
-            rows_by_leaf[int(packed.order[row])] = b.words[r]
+            rows_by_leaf[int(packed.order[row])] = b.leaf_words(r)
             row += 1
     for i, lf in enumerate(leaves):
         want_blocks = (len(lf) + 9 + 63) // 64

@@ -97,7 +97,7 @@ def test_mapping_kernel_on_chip():
         for n in rng.integers(1, 200, size=1500)
     ]
     packed = pack_leaves(leaves)
-    digs = np.asarray(leaf_hashes(packed, backend="pallas"))
+    digs = np.asarray(leaf_hashes(packed, backend="pallas")).T
     for i, leaf in enumerate(leaves):
         assert words_to_digest(digs[i]) == oracle.leaf_hash(leaf)
 
@@ -116,6 +116,6 @@ def test_stream_kernel_on_chip():
     leaves = [rng.integers(0, 256, n, np.uint8).tobytes() for n in sizes]
     packed = pack_leaves(leaves)
     assert any(b.counts is not None for b in packed.buckets)
-    digs = np.asarray(leaf_hashes(packed, backend="pallas"))
+    digs = np.asarray(leaf_hashes(packed, backend="pallas")).T
     for i, leaf in enumerate(leaves):
         assert words_to_digest(digs[i]) == oracle.leaf_hash(leaf), f"leaf {i}"

@@ -9,7 +9,7 @@ from vk_merkle_roots_tpu import oracle
 from vk_merkle_roots_tpu.ops.tree_reduce import (
     _bitrev,
     bitrev_fold_words,
-    merkle_root_of_digest_rows,
+    merkle_root_of_digest_cols,
     reduce_natural_body,
     reduce_perfect_block,
     slice_root,
@@ -18,8 +18,9 @@ from vk_merkle_roots_tpu.utils.hexutil import words_to_digest
 
 
 def _digest_rows(rng, n):
+    """(8, n) word-major columns (the device layout) + raw digest bytes."""
     d = rng.integers(0, 2**32, size=(n, 8), dtype=np.uint32)
-    return d, [words_to_digest(d[i]) for i in range(n)]
+    return np.ascontiguousarray(d.T), [words_to_digest(d[i]) for i in range(n)]
 
 
 @pytest.mark.parametrize("log2n", [0, 1, 2, 3, 5, 8])
@@ -39,7 +40,7 @@ def test_ragged_slice_phantom_height(rng, count, height):
 @pytest.mark.parametrize("count", [1, 2, 3, 5, 6, 7, 9, 100, 255, 256, 257])
 def test_plain_merkle_root(rng, count):
     d, raw = _digest_rows(rng, count)
-    got = merkle_root_of_digest_rows(jnp.asarray(d), count, "xla")
+    got = merkle_root_of_digest_cols(jnp.asarray(d), count, "xla")
     assert got == oracle.merkle_root_of_digests(raw)
 
 
@@ -51,7 +52,7 @@ def test_factored_bitrev_matches_gather(rng, log2n):
     n = 1 << log2n
     d = rng.integers(0, 2**32, size=(n, 8), dtype=np.uint32)
     want = d[_bitrev(log2n)].T
-    got = np.asarray(bitrev_fold_words(jnp.asarray(d), log2n))
+    got = np.asarray(bitrev_fold_words(jnp.asarray(d.T), log2n))
     assert np.array_equal(got, want)
 
 
@@ -59,7 +60,7 @@ def test_factored_bitrev_matches_gather(rng, log2n):
 def test_reduce_natural_body(rng, log2n):
     d, raw = _digest_rows(rng, 1 << log2n)
     if log2n == 0:
-        got = words_to_digest(np.asarray(jnp.asarray(d)[0]))
+        got = words_to_digest(np.asarray(jnp.asarray(d)[:, 0]))
     else:
         got = words_to_digest(
             np.asarray(reduce_natural_body(jnp.asarray(d), log2n, False, True))

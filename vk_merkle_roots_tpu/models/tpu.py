@@ -17,8 +17,10 @@ lists as a TODO (README.md:110-116) instead of halting.
 Slice mechanics (Slices.h:31-251 equivalents):
 
 * the current slice is one HBM uint32 buffer of shape
-  ``(2^slice_log2 + slack, 8)`` holding digest rows; ``fill`` counts real
-  rows (the reservation counter, Slice::Reserve);
+  ``(8, 2^slice_log2 + slack)`` holding word-major digest columns (the
+  layout the mapping kernel emits and the reduction consumes — no device
+  transposes anywhere); ``fill`` counts real columns (the reservation
+  counter, Slice::Reserve);
 * flushes are capped to the remaining slice space, mirroring the
   reference's overflow put-back (SHA-256vk.cpp:389-426), so a digest chunk
   never straddles slices;
@@ -66,7 +68,8 @@ def _append_fn():
 
     @partial(jax.jit, donate_argnums=(0,))
     def append(buf, chunk, offset):
-        return jax.lax.dynamic_update_slice(buf, chunk, (offset, 0))
+        # buf (8, cap+slack) word-major; chunk (8, m) digest columns.
+        return jax.lax.dynamic_update_slice(buf, chunk, (0, offset))
 
     return append
 
@@ -336,8 +339,11 @@ class TpuSha256D(Sha256dEngine):
 
     def _ensure_buf(self):
         if self._buf is None:
+            # Word-major (8, cap+slack): digest word j of slice position p at
+            # [j, p] — the layout leaf_hashes emits and tree_reduce consumes,
+            # so appends and reductions never transpose on device.
             self._buf = _jax().device_put(
-                self._jnp.zeros((self._cap + (1 << _SLACK_LOG2), 8), self._jnp.uint32),
+                self._jnp.zeros((8, self._cap + (1 << _SLACK_LOG2)), self._jnp.uint32),
                 self._device,
             )
 
@@ -419,14 +425,16 @@ class TpuSha256D(Sha256dEngine):
         if self._fill == self._cap:
             sw.Start()
             if self.config.keep_digests:
-                self._slice_digests.append(np.asarray(self._buf[: self._cap]))
+                self._slice_digests.append(
+                    np.ascontiguousarray(np.asarray(self._buf[:, : self._cap]).T)
+                )
             self._reduce_ops += 1
             # Slices are ~batch_count x rarer than maps: denser cadence.
             sample = every and self._reduce_ops % max(1, every // 8) == 0
             if sample:
                 np.asarray(self._buf[0, :1])
                 sw_dev = StopWatch()
-            root = self._reduce_full_slice(self._buf[: self._cap])
+            root = self._reduce_full_slice(self._buf[:, : self._cap])
             if sample:
                 np.asarray(root)
                 self.times.add("reduce_device", sw_dev.Elapsed(), self._cap * 32, throughput=True)
@@ -448,7 +456,7 @@ class TpuSha256D(Sha256dEngine):
     # -- finalization ------------------------------------------------------
 
     def Root(self) -> str:
-        from ..ops.tree_reduce import merkle_root_of_digest_rows, slice_root
+        from ..ops.tree_reduce import merkle_root_of_digest_cols, slice_root
 
         while self._pending.count > 0:
             if not self._flush_some():
@@ -458,13 +466,15 @@ class TpuSha256D(Sha256dEngine):
                 )
         sw = StopWatch()
         if self._fill > 0 and self.config.keep_digests and not self._tail_done:
-            self._slice_digests.append(np.asarray(self._buf[: self._fill]))
+            self._slice_digests.append(
+                np.ascontiguousarray(np.asarray(self._buf[:, : self._fill]).T)
+            )
         if self._fill > 0:
             if not self._roots:
                 # Single (possibly ragged) slice: plain Merkle root.
                 self._tail_done = True
-                root = merkle_root_of_digest_rows(
-                    self._buf[: self._fill], self._fill, self.config.backend
+                root = merkle_root_of_digest_cols(
+                    self._buf[:, : self._fill], self._fill, self.config.backend
                 )
                 self.times.add("finalize", sw.Elapsed())
                 return root.hex()
@@ -472,7 +482,7 @@ class TpuSha256D(Sha256dEngine):
                 # Ragged trailing slice: phantom full height (README.md:94).
                 self._roots.append(
                     slice_root(
-                        self._buf[: self._fill],
+                        self._buf[:, : self._fill],
                         self._fill,
                         self.config.slice_log2,
                         self.config.backend,

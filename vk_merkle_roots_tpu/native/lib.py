@@ -36,7 +36,7 @@ def _load():
         lib = ctypes.CDLL(_SO)
     except OSError:
         return None
-    if lib.vkmr_native_abi() != 3:
+    if lib.vkmr_native_abi() != 4:
         # Stale build: rebuild, then load the fresh .so through a unique
         # temporary copy — dlopen caches handles by pathname, so re-opening
         # the same path would hand back the already-loaded stale library.
@@ -63,7 +63,7 @@ def _load():
                 RuntimeWarning,
             )
             return None
-        if lib.vkmr_native_abi() != 3:
+        if lib.vkmr_native_abi() != 4:
             return None
     u8p = ctypes.POINTER(ctypes.c_uint8)
     i64p = ctypes.POINTER(ctypes.c_int64)
@@ -71,8 +71,10 @@ def _load():
     lib.vkmr_leaf_hashes.argtypes = [u8p, i64p, i64p, ctypes.c_int64, u8p]
     lib.vkmr_merkle_root.argtypes = [u8p, ctypes.c_int64, ctypes.c_int32, u8p]
     lib.vkmr_merkle_root.restype = ctypes.c_int32
-    lib.vkmr_pack_bucket.argtypes = [u8p, i64p, i64p, ctypes.c_int64, ctypes.c_int32, u32p]
-    lib.vkmr_pack_stream_bucket.argtypes = [
+    lib.vkmr_pack_bucket_tiles.argtypes = [
+        u8p, i64p, i64p, ctypes.c_int64, ctypes.c_int32, u32p
+    ]
+    lib.vkmr_pack_stream_bucket_tiles.argtypes = [
         u8p, i64p, i64p, ctypes.c_int64, ctypes.c_int32, u32p
     ]
     lib.vkmr_rndm_stream.argtypes = [
@@ -154,9 +156,12 @@ def native_merkle_root(digests: np.ndarray, height: int = -1) -> bytes | None:
     return out.tobytes()
 
 
-def native_pack_bucket(
-    data: np.ndarray, offsets: np.ndarray, lengths: np.ndarray, nblocks: int
+def native_pack_bucket_tiles(
+    data: np.ndarray, offsets: np.ndarray, lengths: np.ndarray, nblocks: int, tiles: int
 ) -> np.ndarray | None:
+    """Pack an exact bucket into the tile-major device wire format
+    (tiles, nblocks*16, 8, 128) — see packing.pack_spans.  Rows past
+    ``lengths.size`` stay zero (np.zeros/calloc)."""
     lib = _load()
     if lib is None:
         return None
@@ -164,8 +169,8 @@ def native_pack_bucket(
     offsets = np.ascontiguousarray(offsets, np.int64)
     lengths = np.ascontiguousarray(lengths, np.int64)
     n = int(lengths.size)
-    out = np.empty((n, nblocks * 16), np.uint32)
-    lib.vkmr_pack_bucket(
+    out = np.zeros((tiles, nblocks * 16, 8, 128), np.uint32)
+    lib.vkmr_pack_bucket_tiles(
         _ptr(data, ctypes.c_uint8),
         _ptr(offsets, ctypes.c_int64),
         _ptr(lengths, ctypes.c_int64),
@@ -176,11 +181,12 @@ def native_pack_bucket(
     return out
 
 
-def native_pack_stream_bucket(
-    data: np.ndarray, offsets: np.ndarray, lengths: np.ndarray, cap_blocks: int
+def native_pack_stream_bucket_tiles(
+    data: np.ndarray, offsets: np.ndarray, lengths: np.ndarray, cap_blocks: int, tiles: int
 ) -> np.ndarray | None:
-    """Stream-bucket packer: FIPS padding at each leaf's real block boundary,
-    zero blocks up to ``cap_blocks`` (packing._pack_stream_rows contract)."""
+    """Stream-bucket packer, tile-major: FIPS padding at each leaf's real
+    block boundary, zero words up to ``cap_blocks`` blocks
+    (packing._pack_stream_tiles contract)."""
     lib = _load()
     if lib is None:
         return None
@@ -188,8 +194,8 @@ def native_pack_stream_bucket(
     offsets = np.ascontiguousarray(offsets, np.int64)
     lengths = np.ascontiguousarray(lengths, np.int64)
     n = int(lengths.size)
-    out = np.empty((n, cap_blocks * 16), np.uint32)
-    lib.vkmr_pack_stream_bucket(
+    out = np.zeros((tiles, cap_blocks * 16, 8, 128), np.uint32)
+    lib.vkmr_pack_stream_bucket_tiles(
         _ptr(data, ctypes.c_uint8),
         _ptr(offsets, ctypes.c_int64),
         _ptr(lengths, ctypes.c_int64),

@@ -19,11 +19,23 @@ inline uint32_t load_be32(const uint8_t* p) {
          uint32_t(p[3]);
 }
 
-// In-place little->big endian conversion of `n` u32 words.  GCC/Clang at
-// -O3 -march=native vectorize the __builtin_bswap32 loop into pshufb/
-// vpshufb over full vector registers — this pass runs at memory speed.
-inline void bswap32_inplace(uint32_t* w, int64_t n) {
-  for (int64_t i = 0; i < n; ++i) w[i] = __builtin_bswap32(w[i]);
+}  // namespace
+
+namespace {
+
+// Scatter one leaf's padded big-endian words into the tile-major device
+// wire format: word w of leaf r lands at out[((r/1024)*W + w)*1024 +
+// (r%1024)].  `row` holds the leaf's padded bytes (little-endian memory);
+// `nwords` is how many leading words are real (the rest of the row in the
+// output was calloc-zeroed by the caller and is endian-invariant zero).
+// The write stride is 4 KB, but consecutive leaves hit consecutive lanes
+// of the same cache lines, so a 128-leaf run revisits each line 16 times
+// while it is still resident.
+inline void scatter_leaf_words(const uint8_t* row, int64_t nwords, int64_t r,
+                               int64_t words_per_leaf, uint32_t* out) {
+  uint32_t* base = out + (r >> 10) * words_per_leaf * 1024 + (r & 1023);
+  for (int64_t w = 0; w < nwords; ++w)
+    base[w << 10] = load_be32(row + w * 4);
 }
 
 }  // namespace
@@ -31,57 +43,62 @@ inline void bswap32_inplace(uint32_t* w, int64_t n) {
 extern "C" {
 
 // Pack a bucket of n leaves (all padding to `nblocks` 64-byte blocks) into
-// big-endian u32 words: out is n * nblocks * 16 uint32, caller-zeroed or
-// not (fully overwritten here).  Layout matches packing.pack_spans.
-void vkmr_pack_bucket(const uint8_t* data, const int64_t* offsets,
-                      const int64_t* lengths, int64_t n, int32_t nblocks,
-                      uint32_t* out) {
+// the tile-major device wire format: out is (tiles, nblocks*16, 8, 128)
+// uint32 big-endian words — word w of leaf r at [r/1024, w, (r%1024)/128,
+// r%128] — the layout the Pallas mapping kernel consumes with zero on-
+// device reshuffling (the role of the reference's Batch staging buffers,
+// /root/reference/src/vkmr/Batches.cpp:64-121, with the word-major twist
+// that a lane-per-leaf kernel wants).  `out` must be zero-initialized
+// (rows past n stay zero).
+void vkmr_pack_bucket_tiles(const uint8_t* data, const int64_t* offsets,
+                            const int64_t* lengths, int64_t n, int32_t nblocks,
+                            uint32_t* out) {
   const int64_t words_per = int64_t(nblocks) * 16;
   const int64_t pitch_bytes = int64_t(nblocks) * 64;
-  // Build each row directly in the output buffer (payload + 0x80 + zero
-  // fill + bit length as bytes), then byte-swap the row's words in place —
-  // one write + one read-modify-write per byte instead of the former
-  // staging row's three passes, and the swap loop vectorizes.
-#pragma omp parallel for schedule(dynamic, 512)
-  for (int64_t i = 0; i < n; ++i) {
-    const int64_t len = lengths[i];
-    uint8_t* rb = reinterpret_cast<uint8_t*>(out + i * words_per);
-    std::memcpy(rb, data + offsets[i], size_t(len));
-    rb[size_t(len)] = 0x80;
-    std::memset(rb + len + 1, 0, size_t(pitch_bytes - len - 1));
-    const uint64_t bits = uint64_t(len) * 8;
-    for (int i2 = 0; i2 < 8; ++i2)
-      rb[size_t(pitch_bytes - 8 + i2)] = uint8_t(bits >> (56 - 8 * i2));
-    bswap32_inplace(out + i * words_per, words_per);
+#pragma omp parallel
+  {
+    std::vector<uint8_t> row((size_t)pitch_bytes);
+#pragma omp for schedule(dynamic, 512)
+    for (int64_t i = 0; i < n; ++i) {
+      const int64_t len = lengths[i];
+      uint8_t* rb = row.data();
+      std::memcpy(rb, data + offsets[i], size_t(len));
+      rb[size_t(len)] = 0x80;
+      std::memset(rb + len + 1, 0, size_t(pitch_bytes - len - 1));
+      const uint64_t bits = uint64_t(len) * 8;
+      for (int i2 = 0; i2 < 8; ++i2)
+        rb[size_t(pitch_bytes - 8 + i2)] = uint8_t(bits >> (56 - 8 * i2));
+      scatter_leaf_words(rb, words_per, i, words_per, out);
+    }
   }
 }
 
-// Pack a *stream* bucket: n long leaves into rows of `cap_blocks` 64-byte
-// message blocks each.  Unlike vkmr_pack_bucket, each leaf's FIPS padding
-// (0x80 + 64-bit big-endian bit length) lands at the leaf's REAL padded
-// block boundary; the rest of the row is zero blocks the kernel predicates
-// off (packing._pack_stream_rows semantics).
-void vkmr_pack_stream_bucket(const uint8_t* data, const int64_t* offsets,
-                             const int64_t* lengths, int64_t n,
-                             int32_t cap_blocks, uint32_t* out) {
+// Pack a *stream* bucket into the same tile-major wire format: rows of
+// `cap_blocks` 64-byte message blocks, each leaf's FIPS padding (0x80 +
+// 64-bit big-endian bit length) at the leaf's REAL padded block boundary;
+// words past it stay zero (the kernel predicates those blocks off —
+// packing._pack_stream_tiles semantics).  `out` must be zero-initialized.
+void vkmr_pack_stream_bucket_tiles(const uint8_t* data, const int64_t* offsets,
+                                   const int64_t* lengths, int64_t n,
+                                   int32_t cap_blocks, uint32_t* out) {
   const int64_t words_per = int64_t(cap_blocks) * 16;
-  const int64_t pitch_bytes = int64_t(cap_blocks) * 64;
-  // Same direct-to-output layout as vkmr_pack_bucket; only the real padded
-  // blocks get byte-swapped — the zero rung-padding blocks past `end` are
-  // endian-invariant, and on the 5/4 capacity ladder skipping them saves
-  // up to 20% of the swap pass.
-#pragma omp parallel for schedule(dynamic, 16)
-  for (int64_t i = 0; i < n; ++i) {
-    const int64_t len = lengths[i];
-    uint8_t* rb = reinterpret_cast<uint8_t*>(out + i * words_per);
-    std::memcpy(rb, data + offsets[i], size_t(len));
-    rb[size_t(len)] = 0x80;
-    std::memset(rb + len + 1, 0, size_t(pitch_bytes - len - 1));
-    const int64_t end = ((len + 9 + 63) / 64) * 64;  // real padded bytes
-    const uint64_t bits = uint64_t(len) * 8;
-    for (int i2 = 0; i2 < 8; ++i2)
-      rb[size_t(end - 8 + i2)] = uint8_t(bits >> (56 - 8 * i2));
-    bswap32_inplace(out + i * words_per, end / 4);
+#pragma omp parallel
+  {
+    std::vector<uint8_t> row;
+#pragma omp for schedule(dynamic, 16)
+    for (int64_t i = 0; i < n; ++i) {
+      const int64_t len = lengths[i];
+      const int64_t end = ((len + 9 + 63) / 64) * 64;  // real padded bytes
+      if (int64_t(row.size()) < end) row.resize(size_t(end));
+      uint8_t* rb = row.data();
+      std::memcpy(rb, data + offsets[i], size_t(len));
+      rb[size_t(len)] = 0x80;
+      std::memset(rb + len + 1, 0, size_t(end - len - 1));
+      const uint64_t bits = uint64_t(len) * 8;
+      for (int i2 = 0; i2 < 8; ++i2)
+        rb[size_t(end - 8 + i2)] = uint8_t(bits >> (56 - 8 * i2));
+      scatter_leaf_words(rb, end / 4, i, words_per, out);
+    }
   }
 }
 

@@ -12,11 +12,21 @@ dispatch machinery (Mappings.cpp:135-232).  Design differences, on purpose:
 * Variable length is handled by *bucketing* leaves by message-block count —
   each bucket compiles to a kernel with a static block loop — instead of
   per-invocation data-dependent loops.
-* Layout: one leaf per VPU lane.  A grid step owns a (8,128) tile of 1024
-  leaves; message word t of the tile is a full (8,128) vector register, so
-  every round of the compression runs at full VPU width.  The host uploads
-  leaf-major words (zero reshuffling on CPU) and XLA transposes to the
-  word-major tile layout on-device at HBM bandwidth.
+* Layout: one leaf per VPU lane, with the wire format already tile-major
+  ``(tiles, words, 8, 128)`` (the host packer scatters words at pack time,
+  ``packing.Bucket``), so message word t of a tile is a full (8,128) vector
+  register the moment it lands in HBM.  Nothing is transposed on device —
+  the round-2 leaf-major wire format paid a ~170 GB/s on-device transpose
+  (1.2 ms per 2^20x127 B batch, ~27% of the whole mapping stage).
+* Digests leave the kernel **word-major**: ``(8, n)`` columns, which is what
+  the tree-reduction stage consumes directly (tree_reduce operates on word
+  planes).  Row-major ``(n, 8)`` digests exist only on the host (oracle,
+  proofs).
+* A grid step hashes ``MAP_BLOCK_TILES`` tiles at once: one tile is only a
+  couple of microseconds of VPU work, and the fixed per-grid-step cost
+  otherwise eats ~25% of the stage (measured 42.5 -> 57.9 GB/s on
+  2^20 x 127 B when going from 1 to 4 tiles per step).  The kernel body is
+  traced once on ``(bt, 8, 128)`` operands — bigger vectors, not more code.
 
 Both a Pallas kernel and a pure-XLA fallback trace the same
 ``sha256_core`` math, so they are bit-identical by construction.
@@ -32,12 +42,16 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..packing import PackedLeaves
+from ..packing import PackedLeaves, quantized_tiles
 from . import sha256_core
 
 TILE_SUB = 8
 TILE_LANE = 128
-TILE = TILE_SUB * TILE_LANE  # leaves per grid step
+TILE = TILE_SUB * TILE_LANE  # leaves per tile
+
+# Tiles hashed per mapping grid step (see module docstring; 4 measured best,
+# with 2 within noise and 8+ regressing on VMEM pressure at large nblocks).
+MAP_BLOCK_TILES = 4
 
 
 def _use_interpret() -> bool:
@@ -45,49 +59,48 @@ def _use_interpret() -> bool:
 
 
 def _leaf_kernel(x_ref, o_ref, *, nblocks: int):
-    """Hash 1024 leaves: x_ref block (1, nblocks*16, 8, 128) word-major,
-    o_ref block (1, 8, 8, 128) digest words."""
-    state = sha256_core.initial_state(x_ref[0, 0])
+    """Hash bt*1024 leaves: x_ref block (bt, nblocks*16, 8, 128) tile-major
+    message words, o_ref block (8, bt, 8, 128) word-major digests.  All
+    state ops are traced on (bt, 8, 128) operands."""
+    state = sha256_core.initial_state(x_ref[:, 0])
     for b in range(nblocks):
-        w16 = [x_ref[0, b * 16 + t] for t in range(16)]
+        w16 = [x_ref[:, b * 16 + t] for t in range(16)]
         state = sha256_core.compress(state, w16)
     state = sha256_core.finalize_sha256d(state)
     for j in range(8):
-        o_ref[0, j] = state[j]
+        o_ref[j] = state[j]
 
 
 @partial(jax.jit, static_argnums=(1, 2, 3))
-def _bucket_hashes(words, nblocks: int, use_pallas: bool, interpret: bool):
-    """(n, nblocks*16) big-endian words -> (n, 8) digest words."""
-    n = words.shape[0]
+def _bucket_hashes(tiles, nblocks: int, use_pallas: bool, interpret: bool):
+    """(t, nblocks*16, 8, 128) tile-major big-endian words -> (8, t*1024)
+    word-major digest columns."""
+    t = tiles.shape[0]
     wcount = nblocks * 16
     if not use_pallas:
-        cols = words.T
-        blocks = [[cols[b * 16 + t] for t in range(16)] for b in range(nblocks)]
+        cols = tiles.transpose(1, 0, 2, 3).reshape(wcount, t * TILE)
+        blocks = [[cols[b * 16 + i] for i in range(16)] for b in range(nblocks)]
         state = sha256_core.leaf_digest_words(blocks, unroll=False)
-        return jnp.stack(state, axis=1)
+        return jnp.stack(state, axis=0)
 
-    t = -(-n // TILE)
-    padded = jnp.pad(words, ((0, t * TILE - n), (0, 0)))
-    # leaf-major -> word-major tiles: (T, W, 8, 128), all on device.
-    tiles = padded.reshape(t, TILE_SUB, TILE_LANE, wcount).transpose(0, 3, 1, 2)
+    bt = min(MAP_BLOCK_TILES, t)  # t is a power of two, so bt | t
     out = pl.pallas_call(
         partial(_leaf_kernel, nblocks=nblocks),
-        grid=(t,),
+        grid=(t // bt,),
         in_specs=[
             pl.BlockSpec(
-                (1, wcount, TILE_SUB, TILE_LANE),
+                (bt, wcount, TILE_SUB, TILE_LANE),
                 lambda i: (i, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             )
         ],
         out_specs=pl.BlockSpec(
-            (1, 8, TILE_SUB, TILE_LANE), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+            (8, bt, TILE_SUB, TILE_LANE), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((t, 8, TILE_SUB, TILE_LANE), jnp.uint32),
+        out_shape=jax.ShapeDtypeStruct((8, t, TILE_SUB, TILE_LANE), jnp.uint32),
         interpret=interpret,
     )(tiles)
-    return out.transpose(0, 2, 3, 1).reshape(-1, 8)[:n]
+    return out.reshape(8, t * TILE)
 
 
 def _stream_kernel(x_ref, c_ref, o_ref, state_ref, *, nsteps: int):
@@ -104,8 +117,8 @@ def _stream_kernel(x_ref, c_ref, o_ref, state_ref, *, nsteps: int):
     (predicated select), exactly like a shader invocation exiting its loop.
 
     Blocks: x (1, 16, 8, 128) message words of block b; c (1, 1, 8, 128)
-    per-lane real block counts; o (1, 8, 8, 128) digest words (written on
-    the last step); state scratch (8, 8, 128).
+    per-lane real block counts; o (8, 1, 8, 128) word-major digests (written
+    on the last step); state scratch (8, 8, 128).
     """
     b = pl.program_id(1)
 
@@ -127,34 +140,33 @@ def _stream_kernel(x_ref, c_ref, o_ref, state_ref, *, nsteps: int):
     def _finalize():
         out = sha256_core.finalize_sha256d(tuple(state_ref[j] for j in range(8)))
         for j in range(8):
-            o_ref[0, j] = out[j]
+            o_ref[j, 0] = out[j]
 
 
 @partial(jax.jit, static_argnums=(2, 3, 4))
-def _stream_bucket_hashes(words, counts, cap_blocks: int, use_pallas: bool, interpret: bool):
-    """(n, cap_blocks*16) big-endian words + (n,) int32 real block counts
-    -> (n, 8) digest words.  One compiled shape per (row-quantized n,
-    capacity rung) pair; the Mosaic body is capacity-independent."""
-    n = words.shape[0]
+def _stream_bucket_hashes(tiles, counts, cap_blocks: int, use_pallas: bool, interpret: bool):
+    """(t, cap_blocks*16, 8, 128) tile-major big-endian words + (n,) int32
+    real block counts -> (8, t*1024) word-major digest columns.  One
+    compiled shape per (tile count, capacity rung) pair; the Mosaic body is
+    capacity-independent."""
+    t = tiles.shape[0]
     wcount = cap_blocks * 16
     if not use_pallas:
-        cols = words.T  # (wcount, n) word-major
+        cols = tiles.transpose(1, 0, 2, 3).reshape(wcount, t * TILE)
         state = sha256_core.initial_state(cols[0])
+        padded_counts = jnp.pad(counts.astype(jnp.int32), (0, t * TILE - counts.shape[0]))
 
         def body(b, st):
             w = jax.lax.dynamic_slice_in_dim(cols, b * 16, 16, axis=0)
-            new = sha256_core.compress(st, [w[t] for t in range(16)], unroll=False)
-            active = counts > b
+            new = sha256_core.compress(st, [w[i] for i in range(16)], unroll=False)
+            active = padded_counts > b
             return tuple(jnp.where(active, nw, s) for nw, s in zip(new, st))
 
         state = jax.lax.fori_loop(0, cap_blocks, body, state)
         state = sha256_core.finalize_sha256d(state, unroll=False)
-        return jnp.stack(state, axis=1)
+        return jnp.stack(state, axis=0)
 
-    t = -(-n // TILE)
-    padded = jnp.pad(words, ((0, t * TILE - n), (0, 0)))
-    tiles = padded.reshape(t, TILE_SUB, TILE_LANE, wcount).transpose(0, 3, 1, 2)
-    c = jnp.pad(counts.astype(jnp.int32), (0, t * TILE - n)).reshape(
+    c = jnp.pad(counts.astype(jnp.int32), (0, t * TILE - counts.shape[0])).reshape(
         t, 1, TILE_SUB, TILE_LANE
     )
     out = pl.pallas_call(
@@ -173,20 +185,20 @@ def _stream_bucket_hashes(words, counts, cap_blocks: int, use_pallas: bool, inte
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, 8, TILE_SUB, TILE_LANE), lambda i, b: (i, 0, 0, 0), memory_space=pltpu.VMEM
+            (8, 1, TILE_SUB, TILE_LANE), lambda i, b: (0, i, 0, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((t, 8, TILE_SUB, TILE_LANE), jnp.uint32),
+        out_shape=jax.ShapeDtypeStruct((8, t, TILE_SUB, TILE_LANE), jnp.uint32),
         scratch_shapes=[pltpu.VMEM((8, TILE_SUB, TILE_LANE), jnp.uint32)],
         interpret=interpret,
     )(tiles, c)
-    return out.transpose(0, 2, 3, 1).reshape(-1, 8)[:n]
+    return out.reshape(8, t * TILE)
 
 
-def _host_leaf_digest_words(data, offsets, lengths) -> np.ndarray:
-    """SHA-256d digest words of long leaves on the host (native SHA-NI when
-    built, hashlib otherwise), row-quantized like the device buckets.  One
-    message is a serial block chain, so the host hardware-SHA path is the
-    honest fast path for rare long leaves; see packing.pack_spans."""
+def _host_leaf_digest_cols(data, offsets, lengths) -> np.ndarray:
+    """SHA-256d digest columns of long leaves on the host (native SHA-NI
+    when built, hashlib otherwise), tile-quantized like the device buckets.
+    One message is a serial block chain, so the host hardware-SHA path is
+    the honest fast path for rare long leaves; see packing.pack_spans."""
     from .. import oracle
     from ..native.lib import native_leaf_hashes_spans
 
@@ -197,36 +209,25 @@ def _host_leaf_digest_words(data, offsets, lengths) -> np.ndarray:
         for i in range(n):
             span = data[int(offsets[i]) : int(offsets[i]) + int(lengths[i])].tobytes()
             out[i] = np.frombuffer(oracle.leaf_hash(span), np.uint8)
-    # Digest bytes -> big-endian words, vectorized (hexutil.digest_to_words
-    # row-at-a-time would be quadratic-ish here; same convention).
+    # Digest bytes -> big-endian word columns (8, quantized).
     words = out.view(">u4").astype(np.uint32).reshape(n, 8)
-    rows = _quantized_rows(n)
-    if rows != n:
-        words = np.concatenate([words, np.zeros((rows - n, 8), np.uint32)])
-    return words
-
-
-def _quantized_rows(n: int) -> int:
-    """Pad bucket row counts to the next power of two (>= 64) so compiled
-    kernels are shared across batches instead of recompiling per exact
-    count.  Wasted rows hash zero blocks and are never gathered."""
-    if n >= 64:
-        return 1 << (n - 1).bit_length()
-    return 64
+    cols = np.zeros((8, quantized_tiles(n) * TILE), np.uint32)
+    cols[:, :n] = words.T
+    return cols
 
 
 def leaf_hashes(packed: PackedLeaves, backend: str = "auto", device=None) -> jax.Array:
-    """Hash all packed leaves; returns (quantized_rows, 8) uint32 digest
-    words whose first ``packed.count`` rows are the digests in original
-    input order (trailing rows are padding garbage — row counts are
-    quantized to powers of two so compiled programs are reused across
-    batches; callers slice or track ``packed.count``).
+    """Hash all packed leaves; returns (8, quantized_cols) uint32 word-major
+    digest columns whose first ``packed.count`` columns are the digests in
+    original input order (trailing columns are padding garbage — column
+    counts are quantized to power-of-two tile counts so compiled programs
+    are reused across batches; callers slice or track ``packed.count``).
 
     ``backend``: "pallas", "xla", or "auto" (pallas on TPU, xla elsewhere —
     interpret-mode pallas is reserved for the kernel unit tests).
     """
     if packed.count == 0:
-        return jnp.zeros((0, 8), jnp.uint32)
+        return jnp.zeros((8, 0), jnp.uint32)
     interpret = _use_interpret()
     use_pallas = backend == "pallas" or (backend == "auto" and not interpret)
 
@@ -234,46 +235,39 @@ def leaf_hashes(packed: PackedLeaves, backend: str = "auto", device=None) -> jax
         return jax.device_put(arr, device) if device is not None else jnp.asarray(arr)
 
     parts = []
-    bases = []  # padded-concat row of each bucket's first real row
-    counts = []  # real rows per part
+    bases = []  # padded-concat column of each bucket's first real column
+    counts = []  # real columns per part
     base = 0
     for b in packed.buckets:
-        rows = _quantized_rows(b.count)
-        words = b.words
-        if rows != b.count:
-            words = np.zeros((rows, words.shape[1]), dtype=np.uint32)
-            words[: b.count] = b.words
         if b.counts is not None:  # stream bucket: block-loop kernel
-            blk = b.counts
-            if rows != b.count:
-                blk = np.zeros(rows, np.int32)
-                blk[: b.count] = b.counts
             parts.append(
-                _stream_bucket_hashes(_put(words), _put(blk), b.nblocks, use_pallas, interpret)
+                _stream_bucket_hashes(
+                    _put(b.words), _put(b.counts), b.nblocks, use_pallas, interpret
+                )
             )
         else:
-            parts.append(_bucket_hashes(_put(words), b.nblocks, use_pallas, interpret))
+            parts.append(_bucket_hashes(_put(b.words), b.nblocks, use_pallas, interpret))
         bases.append(base)
         counts.append(b.count)
-        base += rows
+        base += parts[-1].shape[1]
     if packed.host_spans is not None:
-        parts.append(_put(_host_leaf_digest_words(*packed.host_spans)))
+        parts.append(_put(_host_leaf_digest_cols(*packed.host_spans)))
         bases.append(base)
         counts.append(int(packed.host_spans[2].size))
-        base += parts[-1].shape[0]
+        base += parts[-1].shape[1]
     if len(parts) == 1:
         cat = parts[0]
         if np.array_equal(packed.inverse_order, np.arange(packed.count)):
             return cat
     else:
-        cat = jnp.concatenate(parts, axis=0)
-    # Map unpadded concat rows -> padded concat rows, then restore input
-    # order; the gather index is itself padded to a quantized length.
+        cat = jnp.concatenate(parts, axis=1)
+    # Map unpadded concat columns -> padded concat columns, then restore
+    # input order; the gather index is itself padded to a quantized length.
     u2p = np.concatenate(
         [np.arange(c, dtype=np.int64) + bases[i] for i, c in enumerate(counts)]
     )
     idx = u2p[packed.inverse_order]
-    out_rows = _quantized_rows(packed.count)
-    if out_rows != idx.size:
-        idx = np.concatenate([idx, np.zeros(out_rows - idx.size, dtype=np.int64)])
-    return jnp.take(cat, _put(idx), axis=0)
+    out_cols = quantized_tiles(packed.count) * TILE
+    if out_cols != idx.size:
+        idx = np.concatenate([idx, np.zeros(out_cols - idx.size, dtype=np.int64)])
+    return jnp.take(cat, _put(idx), axis=1)

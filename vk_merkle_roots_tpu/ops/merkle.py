@@ -13,8 +13,8 @@ import numpy as np
 
 from ..packing import pack_leaves
 from ..utils.bitmath import ceil_log2, is_pow2
-from .leaf_hash import _bucket_hashes, leaf_hashes
-from .tree_reduce import merkle_root_of_digest_rows, reduce_natural_body
+from .leaf_hash import TILE, _bucket_hashes, leaf_hashes
+from .tree_reduce import merkle_root_of_digest_cols, reduce_natural_body
 
 
 def merkle_root_device(leaves: list[bytes], backend: str = "auto") -> bytes:
@@ -22,14 +22,15 @@ def merkle_root_device(leaves: list[bytes], backend: str = "auto") -> bytes:
     if not leaves:
         raise ValueError("cannot take the Merkle root of zero leaves")
     packed = pack_leaves(leaves)
-    digests = leaf_hashes(packed, backend)[: packed.count]
-    return merkle_root_of_digest_rows(digests, packed.count, backend)
+    digests = leaf_hashes(packed, backend)  # (8, quantized) word-major
+    return merkle_root_of_digest_cols(digests, packed.count, backend)
 
 
 def fused_root_fn(n_leaves: int, nblocks: int, backend: str = "auto"):
-    """Build a jittable fixed-shape step: (n_leaves, nblocks*16) packed words
-    -> (8,) root words, with hashing and the full tree reduction in one
-    compiled program.  ``n_leaves`` must be a power of two.
+    """Build a jittable fixed-shape step: tile-major packed words
+    (n_leaves/1024, nblocks*16, 8, 128) -> (8,) root words, with hashing
+    and the full tree reduction in one compiled program.  ``n_leaves`` must
+    be a power of two (>= one tile).
 
     This is the single-chip "forward step" used by ``__graft_entry__`` and
     the benchmarks.
@@ -40,10 +41,10 @@ def fused_root_fn(n_leaves: int, nblocks: int, backend: str = "auto"):
     interpret = jax.default_backend() != "tpu"
     use_pallas = backend == "pallas" or (backend == "auto" and not interpret)
 
-    def step(words):
-        digests = _bucket_hashes(words, nblocks, use_pallas, interpret)
+    def step(tiles):
+        digests = _bucket_hashes(tiles, nblocks, use_pallas, interpret)[:, :n_leaves]
         if log2n == 0:
-            return digests[0]
+            return digests[:, 0]
         # Factored bit-reversal: the monolithic row gather was the largest
         # single overhead in the fused step (see bitrev_fold_words).
         return reduce_natural_body(digests, log2n, use_pallas, interpret)

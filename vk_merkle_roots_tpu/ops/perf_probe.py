@@ -104,7 +104,16 @@ def count_vector_ops() -> dict[str, dict[str, int]]:
 
 # ------------------------------------------------------------------- probe
 
-_PROBE_ROUNDS = 1024  # unrolled ALU ops per chain per kernel pass
+_PROBE_ROUNDS = 1024  # unrolled ALU ops per chain per in-kernel pass
+_PROBE_PASSES = 32  # in-kernel fori_loop trips over the unrolled block
+
+# Why the pass loop: one 1024-op unrolled block is only ~0.2 us of VPU work,
+# so a kernel that runs it once per grid step is dominated by the fixed
+# per-grid-step cost and *understates* the issue ceiling — round 2's probes
+# did exactly that (3.78e12 "ceiling" while production kernels measured
+# 5.9e12 after their own per-step overhead was amortized away).  Looping the
+# block 32x in-kernel (the unrolled body is traced once; the loop carry is
+# the 16 registers) makes each grid step ~6 us of pure ALU work.
 
 
 def _probe_kernel(x_ref, o_ref):
@@ -116,19 +125,27 @@ def _probe_kernel(x_ref, o_ref):
     the loop; nothing is a trace-time constant, so Mosaic cannot fold any
     of it away.
     """
-    regs = [x_ref[0, j] for j in range(16)]
-    for t in range(_PROBE_ROUNDS):
-        j = t % 16
-        k = (t + 5) % 16
-        op = t % 4
-        if op == 0:
-            regs[j] = regs[j] + regs[k]
-        elif op == 1:
-            regs[j] = regs[j] ^ regs[k]
-        elif op == 2:
-            regs[j] = regs[j] >> ((j % 7) + 1)
-        else:
-            regs[j] = regs[j] | regs[k]
+    import jax
+
+    def chain_pass(_, regs):
+        regs = list(regs)
+        for t in range(_PROBE_ROUNDS):
+            j = t % 16
+            k = (t + 5) % 16
+            op = t % 4
+            if op == 0:
+                regs[j] = regs[j] + regs[k]
+            elif op == 1:
+                regs[j] = regs[j] ^ regs[k]
+            elif op == 2:
+                regs[j] = regs[j] >> ((j % 7) + 1)
+            else:
+                regs[j] = regs[j] | regs[k]
+        return tuple(regs)
+
+    regs = jax.lax.fori_loop(
+        0, _PROBE_PASSES, chain_pass, tuple(x_ref[0, j] for j in range(16))
+    )
     acc = regs[0]
     for r in regs[1:]:
         acc = acc ^ r
@@ -168,14 +185,23 @@ def _rot_probe_kernel(x_ref, o_ref):
     the plain probe reveals whether Mosaic lowers the rotate idiom to fewer
     hardware ops (a fused rotate would make this probe's apparent jaxpr rate
     HIGHER); SHA-256 is ~53% rotate idiom by jaxpr ops, so this bounds the
-    model error."""
-    regs = [x_ref[0, j] for j in range(16)]
-    for t in range(_PROBE_ROUNDS // 4):
-        j = t % 16
-        k = (t + 5) % 16
-        c = (t % 7) + 1
-        x = regs[j]
-        regs[j] = ((x >> c) | (x << (32 - c))) ^ regs[k]
+    model error.  Same in-kernel pass loop as ``_probe_kernel`` (see note
+    above) so the fixed per-grid-step cost does not pollute the reading."""
+    import jax
+
+    def chain_pass(_, regs):
+        regs = list(regs)
+        for t in range(_PROBE_ROUNDS // 4):
+            j = t % 16
+            k = (t + 5) % 16
+            c = (t % 7) + 1
+            x = regs[j]
+            regs[j] = ((x >> c) | (x << (32 - c))) ^ regs[k]
+        return tuple(regs)
+
+    regs = jax.lax.fori_loop(
+        0, _PROBE_PASSES, chain_pass, tuple(x_ref[0, j] for j in range(16))
+    )
     acc = regs[0]
     for r in regs[1:]:
         acc = acc ^ r
@@ -243,12 +269,12 @@ def alu_issue_probe(tiles: int = 256, iters: int = 20) -> dict[str, float]:
         if dt > 0.15 * float(np.median(times)):
             break
     sec = max(best, 1e-9) / iters
-    lane_ops = tiles * _PROBE_ROUNDS * TILE_SUB * TILE_LANE
+    lane_ops = tiles * _PROBE_PASSES * _PROBE_ROUNDS * TILE_SUB * TILE_LANE
     return {
         "lane_ops_per_sec": lane_ops / sec,
         "sec_per_pass": sec,
         "tiles": tiles,
-        "rounds_per_tile": _PROBE_ROUNDS,
+        "rounds_per_tile": _PROBE_PASSES * _PROBE_ROUNDS,
     }
 
 
@@ -285,5 +311,5 @@ def rot_issue_probe(tiles: int = 256, iters: int = 20) -> dict[str, float]:
             break
     sec = max(best, 1e-9) / iters
     # 4 jaxpr ops per round, _PROBE_ROUNDS//4 rounds -> _PROBE_ROUNDS ops.
-    lane_ops = tiles * _PROBE_ROUNDS * TILE_SUB * TILE_LANE
+    lane_ops = tiles * _PROBE_PASSES * _PROBE_ROUNDS * TILE_SUB * TILE_LANE
     return {"jaxpr_lane_ops_per_sec": lane_ops / sec, "sec_per_pass": sec}

@@ -38,8 +38,8 @@ Design, rethought for TPU:
   duplicate-last-element buffer copies (Reductions.cpp:299-342).
 
 Every stage is jitted piecewise by shape so compile artifacts are shared
-across slice sizes; ``reduce_bitrev_body`` is also traceable inside a larger
-jit for the fused fixed-shape step.
+across slice sizes; ``reduce_natural_body`` is also traceable inside a
+larger jit for the fused fixed-shape step.
 """
 
 from __future__ import annotations
@@ -217,17 +217,13 @@ def reduce_words_body(x, log2n: int, use_pallas: bool, interpret: bool):
     return x[:, 0]
 
 
-def reduce_bitrev_body(digests_bitrev, log2n: int, use_pallas: bool, interpret: bool):
-    """Row-major compatibility wrapper over :func:`reduce_words_body`."""
-    return reduce_words_body(digests_bitrev.T, log2n, use_pallas, interpret)
-
-
-def reduce_natural_body(digests_nat, log2n: int, use_pallas: bool, interpret: bool):
-    """Traceable: (2^log2n, 8) NATURAL-order digest rows -> (8,) root words.
-    Applies the factored bit-reversal (:func:`bitrev_fold_words`) then the
-    fold pipeline — the preferred fused hot path."""
+def reduce_natural_body(cols_nat, log2n: int, use_pallas: bool, interpret: bool):
+    """Traceable: (8, 2^log2n) NATURAL-order word-major digest columns ->
+    (8,) root words.  Applies the factored bit-reversal
+    (:func:`bitrev_fold_words`) then the fold pipeline — the preferred
+    fused hot path (exactly what the mapping stage emits)."""
     return reduce_words_body(
-        bitrev_fold_words(digests_nat, log2n), log2n, use_pallas, interpret
+        bitrev_fold_words(cols_nat, log2n), log2n, use_pallas, interpret
     )
 
 
@@ -261,8 +257,8 @@ def _bitrev(log2n: int) -> np.ndarray:
 _BITREV_FACTOR_MIN_LOG2 = 10
 
 
-def bitrev_fold_words(digests_nat, log2n: int):
-    """(2^log2n, 8) natural-order digest rows -> (8, 2^log2n) word-major
+def bitrev_fold_words(cols_nat, log2n: int):
+    """(8, 2^log2n) natural-order word-major digest columns -> (8, 2^log2n)
     bit-reversed fold input, via the FACTORED permutation.
 
     ``rev_n`` factors over a (2^a, 2^b) reshape (v = hi*2^b + lo  =>
@@ -270,16 +266,19 @@ def bitrev_fold_words(digests_nat, log2n: int):
     small bit-reversal, then swap the axes.  The axis gathers move whole
     contiguous sub-rows and the swap is a regular transpose, so the whole
     thing runs near HBM bandwidth — measured 0.88 ms vs 4.27 ms for the
-    monolithic ``jnp.take`` row gather on 2^20 digests (v5e): random
-    32-byte-row gathers are ~5x off bandwidth and were the single largest
-    overhead in the fused root / stream pipeline (VERDICT r1 weak #4).
+    monolithic row gather on 2^20 digests (v5e): random 32-byte-row gathers
+    are ~5x off bandwidth and were the single largest overhead in the fused
+    root / stream pipeline (VERDICT r1 weak #4).  Since round 3 the input
+    is already word-major (the mapping stage emits columns), so the old
+    leading (n, 8) -> (8, n) transpose — ~6 ms per 2^23 digests, worse than
+    the permutation itself — is gone from the dataflow entirely.
     """
     n = 1 << log2n
     if log2n < _BITREV_FACTOR_MIN_LOG2:
-        return jnp.take(digests_nat, jnp.asarray(_bitrev(log2n)), axis=0).T
+        return jnp.take(cols_nat, jnp.asarray(_bitrev(log2n)), axis=1)
     a = log2n // 2
     b = log2n - a
-    y = digests_nat.T.reshape(8, 1 << a, 1 << b)
+    y = cols_nat.reshape(8, 1 << a, 1 << b)
     y = jnp.take(y, jnp.asarray(_bitrev(a)), axis=1)
     y = jnp.take(y, jnp.asarray(_bitrev(b)), axis=2)
     return y.transpose(0, 2, 1).reshape(8, n)
@@ -288,17 +287,17 @@ def bitrev_fold_words(digests_nat, log2n: int):
 _bitrev_fold_words_jit = jax.jit(bitrev_fold_words, static_argnums=(1,))
 
 
-def reduce_perfect_block(digests_nat, log2n: int, backend: str = "auto"):
-    """Root of a perfect 2^log2n-leaf subtree from natural-order digest rows.
-    Returns a (8,) uint32 device array (an async future under JAX dispatch —
-    the replacement for the reference's fence-tracked in-flight reductions,
-    Ops.h:41-57)."""
+def reduce_perfect_block(cols_nat, log2n: int, backend: str = "auto"):
+    """Root of a perfect 2^log2n-leaf subtree from natural-order word-major
+    digest columns (8, 2^log2n).  Returns a (8,) uint32 device array (an
+    async future under JAX dispatch — the replacement for the reference's
+    fence-tracked in-flight reductions, Ops.h:41-57)."""
     interpret = _use_interpret()
     use_pallas = backend == "pallas" or (backend == "auto" and not interpret)
-    digests_nat = jnp.asarray(digests_nat)
+    cols_nat = jnp.asarray(cols_nat)
     if log2n == 0:
-        return digests_nat[0]
-    fold = _bitrev_fold_words_jit(digests_nat, log2n)
+        return cols_nat[:, 0]
+    fold = _bitrev_fold_words_jit(cols_nat, log2n)
     return _reduce_words(fold, log2n, use_pallas, interpret)
 
 
@@ -326,16 +325,17 @@ def _combine_ragged(block_roots: list[tuple[bytes, int]], height: int) -> bytes:
     return cur
 
 
-def slice_root(digests_nat, count: int, height: int, backend: str = "auto") -> bytes:
-    """Root of one slice: ``count`` digests reduced through exactly
-    ``height`` levels (phantom-full-height for ragged tails).  Blocks on the
-    device; meant for slice finalization.  For the hot full-slice path use
-    :func:`reduce_perfect_block` directly (non-blocking)."""
+def slice_root(cols_nat, count: int, height: int, backend: str = "auto") -> bytes:
+    """Root of one slice: ``count`` digests (word-major columns, (8, >=count))
+    reduced through exactly ``height`` levels (phantom-full-height for
+    ragged tails).  Blocks on the device; meant for slice finalization.  For
+    the hot full-slice path use :func:`reduce_perfect_block` directly
+    (non-blocking)."""
     if count < 1 or count > (1 << height):
         raise ValueError(f"count={count} out of range for height={height}")
-    digests_nat = jnp.asarray(digests_nat)
+    cols_nat = jnp.asarray(cols_nat)
     if count == (1 << height):
-        return words_to_digest(np.asarray(reduce_perfect_block(digests_nat, height, backend)))
+        return words_to_digest(np.asarray(reduce_perfect_block(cols_nat, height, backend)))
     # Binary decomposition: aligned perfect blocks of strictly decreasing
     # size.  Dispatch every block's reduction first (async futures), THEN
     # materialize — otherwise each readback (35 ms RTT through a remote
@@ -348,7 +348,7 @@ def slice_root(digests_nat, count: int, height: int, backend: str = "auto") -> b
         futures.append(
             (
                 reduce_perfect_block(
-                    jax.lax.dynamic_slice_in_dim(digests_nat, start, 1 << k, axis=0), k, backend
+                    jax.lax.dynamic_slice_in_dim(cols_nat, start, 1 << k, axis=1), k, backend
                 ),
                 k,
             )
@@ -359,7 +359,7 @@ def slice_root(digests_nat, count: int, height: int, backend: str = "auto") -> b
     return _combine_ragged(blocks, height)
 
 
-def merkle_root_of_digest_rows(digests_nat, count: int, backend: str = "auto") -> bytes:
+def merkle_root_of_digest_cols(cols_nat, count: int, backend: str = "auto") -> bytes:
     """Plain Merkle root (odd-self-pair rule) of ``count`` natural-order
-    digest rows — the single-slice ``Count()``-levels case."""
-    return slice_root(digests_nat, count, ceil_log2(count) if count > 1 else 0, backend)
+    word-major digest columns — the single-slice ``Count()``-levels case."""
+    return slice_root(cols_nat, count, ceil_log2(count) if count > 1 else 0, backend)

@@ -23,6 +23,19 @@ import numpy as np
 from .constants import BLOCK_BYTES, MAX_LEAF_BYTES, padded_block_count
 
 
+TILE_SUB = 8
+TILE_LANE = 128
+TILE = TILE_SUB * TILE_LANE  # leaves per device tile
+
+
+def quantized_tiles(n: int) -> int:
+    """Tile count for ``n`` leaves, padded to a power of two so compiled
+    kernels are shared across batches instead of recompiling per exact
+    count (rows past ``n`` are zero and their digests are never gathered)."""
+    t = -(-n // TILE)
+    return 1 << (t - 1).bit_length() if t > 1 else 1
+
+
 @dataclass
 class Bucket:
     """All leaves whose padded message is exactly ``nblocks`` blocks long —
@@ -30,12 +43,23 @@ class Bucket:
     padded block count lands in the same quantized-capacity rung: rows are
     padded with zero blocks to ``nblocks`` (the rung capacity) and
     ``counts[i]`` records leaf i's real block count for in-kernel
-    predication."""
+    predication.
+
+    ``words`` is the tile-major device wire format: shape
+    ``(quantized_tiles(count), nblocks*16, 8, 128)`` uint32, holding word w
+    of leaf r at ``[r // 1024, w, (r % 1024) // 128, r % 128]`` — one leaf
+    per VPU lane, exactly the layout the Pallas kernels consume, so nothing
+    is ever transposed on device (the round-2 layout stored leaf-major rows
+    and paid a 170 GB/s on-device transpose per batch)."""
 
     nblocks: int
-    words: np.ndarray  # (count, nblocks*16) uint32, big-endian word values
+    words: np.ndarray  # (tiles, nblocks*16, 8, 128) uint32 big-endian words
     count: int
     counts: np.ndarray | None = None  # (count,) int32 real block counts
+
+    def leaf_words(self, i: int) -> np.ndarray:
+        """(nblocks*16,) big-endian words of leaf ``i`` — test/debug view."""
+        return np.asarray(self.words[i // TILE, :, (i % TILE) // TILE_LANE, i % TILE_LANE])
 
 
 @dataclass
@@ -96,16 +120,30 @@ def stream_capacity(nblocks: int) -> int:
     return cap
 
 
-def _pack_stream_rows(
+def _rows_to_tiles(rows: np.ndarray, tiles: int) -> np.ndarray:
+    """(n, W) leaf-major word rows -> (tiles, W, 8, 128) tile-major wire
+    format (fallback path; the native packers scatter directly)."""
+    n, wcount = rows.shape
+    if n != tiles * TILE:
+        padded = np.zeros((tiles * TILE, wcount), np.uint32)
+        padded[:n] = rows
+        rows = padded
+    return np.ascontiguousarray(
+        rows.reshape(tiles, TILE_SUB, TILE_LANE, wcount).transpose(0, 3, 1, 2)
+    )
+
+
+def _pack_stream_tiles(
     data: np.ndarray, offs: np.ndarray, lens: np.ndarray, cap_blocks: int
 ) -> np.ndarray:
-    """Pack leaves into rows of ``cap_blocks`` message blocks: FIPS padding
-    at each leaf's real block boundary, zero blocks after.  Python loop per
-    leaf is fine here — stream leaves are >512 B each, so the loop count is
-    small relative to the bytes moved."""
-    from .native.lib import native_pack_stream_bucket
+    """Pack leaves into tile-major rows of ``cap_blocks`` message blocks:
+    FIPS padding at each leaf's real block boundary, zero blocks after.
+    Python loop per leaf is fine in the fallback — stream leaves are
+    >512 B each, so the loop count is small relative to the bytes moved."""
+    from .native.lib import native_pack_stream_bucket_tiles
 
-    out = native_pack_stream_bucket(data, offs, lens, cap_blocks)
+    tiles = quantized_tiles(int(lens.size))
+    out = native_pack_stream_bucket_tiles(data, offs, lens, cap_blocks, tiles)
     if out is not None:
         return out
     n = int(lens.size)
@@ -117,7 +155,8 @@ def _pack_stream_rows(
         row[length] = 0x80
         end = padded_block_count(length) * BLOCK_BYTES
         row[end - 8 : end] = np.frombuffer((length * 8).to_bytes(8, "big"), np.uint8)
-    return buf.view(">u4").astype(np.uint32).reshape(n, cap_blocks * 16)
+    rows = buf.view(">u4").astype(np.uint32).reshape(n, cap_blocks * 16)
+    return _rows_to_tiles(rows, tiles)
 
 
 def pack_spans(
@@ -147,9 +186,9 @@ def pack_spans(
         raise ValueError(f"leaf exceeds MAX_LEAF_BYTES={MAX_LEAF_BYTES}")
 
     try:
-        from .native.lib import native_pack_bucket
+        from .native.lib import native_pack_bucket_tiles
     except Exception:
-        native_pack_bucket = None
+        native_pack_bucket_tiles = None
 
     nblocks = (lengths + 9 + BLOCK_BYTES - 1) // BLOCK_BYTES
     host_spans = None
@@ -167,9 +206,10 @@ def pack_spans(
         lens = lengths[idx]
         offs = offsets[idx]
         pitch = int(b) * BLOCK_BYTES
+        tiles = quantized_tiles(int(idx.size))
         words = None
-        if native_pack_bucket is not None:
-            words = native_pack_bucket(data, offs, lens, int(b))
+        if native_pack_bucket_tiles is not None:
+            words = native_pack_bucket_tiles(data, offs, lens, int(b), tiles)
         if words is None:
             buf = np.zeros((idx.size, pitch), dtype=np.uint8)
             total = int(lens.sum())
@@ -186,7 +226,7 @@ def pack_spans(
             buf.reshape(-1)[np.arange(idx.size, dtype=np.int64) * pitch + lens] = 0x80
             be = buf.view(">u4").reshape(idx.size, pitch // 4)
             be[:, -1] = (lens << 3).astype(np.uint32)
-            words = np.ascontiguousarray(be).astype(np.uint32)
+            words = _rows_to_tiles(np.ascontiguousarray(be).astype(np.uint32), tiles)
         buckets.append(Bucket(int(b), words, int(idx.size)))
         order_parts.append(idx)
 
@@ -197,7 +237,7 @@ def pack_spans(
         for cap in np.unique(caps):
             members = long_blocks[caps == cap]
             idx = np.flatnonzero(np.isin(nblocks, members))
-            words = _pack_stream_rows(data, offsets[idx], lengths[idx], int(cap))
+            words = _pack_stream_tiles(data, offsets[idx], lengths[idx], int(cap))
             buckets.append(
                 Bucket(int(cap), words, int(idx.size), counts=nblocks[idx].astype(np.int32))
             )

@@ -79,7 +79,7 @@ def demo_main(argv=None) -> int:
     p.add_argument("--coordinator", default=None)
     p.add_argument("--num-processes", type=int, default=None)
     p.add_argument("--process-id", type=int, default=None)
-    p.add_argument("--leaves", type=int, default=512)
+    p.add_argument("--leaves", type=int, default=8192)
     p.add_argument("--leaf-bytes", type=int, default=24)
     p.add_argument("--seed", type=int, default=7)
     a = p.parse_args(argv)
@@ -99,32 +99,40 @@ def demo_main(argv=None) -> int:
         rng.integers(32, 126, size=a.leaf_bytes, dtype=np.uint8).tobytes()
         for _ in range(a.leaves)
     ]
+    if a.leaves % (1024 * nproc):
+        raise SystemExit("--leaves must be a multiple of 1024 * num processes")
     packed = pack_leaves(leaves)
     assert len(packed.buckets) == 1, "demo uses one fixed-size bucket"
-    words = packed.buckets[0].words
+    words = packed.buckets[0].words  # tile-major (t, W, 8, 128)
     nblocks = packed.buckets[0].nblocks
 
     mesh = make_mesh()
-    sharding = NamedSharding(mesh, P(DATA_AXIS, None))
-    rows = a.leaves // nproc
+    sharding = NamedSharding(mesh, P(DATA_AXIS, None, None, None))
+    tiles_local = words.shape[0] // nproc
     pid = jax.process_index()
-    local = words[pid * rows : (pid + 1) * rows]
+    local = words[pid * tiles_local : (pid + 1) * tiles_local]
     garr = jax.make_array_from_process_local_data(sharding, local, global_shape=words.shape)
     fn = make_sharded_root_fn(mesh, a.leaves, nblocks)
     root = words_to_digest(np.asarray(fn(garr)))
     print(f"sharded_root {root.hex()}", flush=True)
 
     # Digest-level sharded reduction (the engine's --sharded slice path):
-    # same tree, computed from pre-hashed rows sharded across processes.
+    # same tree, computed from pre-hashed word-major digest columns sharded
+    # across processes.
     from .. import oracle
 
-    digs = np.stack(
-        [np.frombuffer(oracle.leaf_hash(x), ">u4").astype(np.uint32) for x in leaves]
+    cols = np.ascontiguousarray(
+        np.stack(
+            [np.frombuffer(oracle.leaf_hash(x), ">u4").astype(np.uint32) for x in leaves]
+        ).T
     )
     log2n = a.leaves.bit_length() - 1
     rfn = make_sharded_reduce_fn(mesh, log2n)
+    rows = a.leaves // nproc
     gdig = jax.make_array_from_process_local_data(
-        sharding, digs[pid * rows : (pid + 1) * rows], global_shape=digs.shape
+        NamedSharding(mesh, P(None, DATA_AXIS)),
+        np.ascontiguousarray(cols[:, pid * rows : (pid + 1) * rows]),
+        global_shape=cols.shape,
     )
     root2 = words_to_digest(np.asarray(rfn(gdig)))
     print(f"sharded_reduce_root {root2.hex()}", flush=True)

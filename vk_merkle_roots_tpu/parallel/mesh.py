@@ -91,18 +91,18 @@ def make_sharded_reduce_fn(mesh: Mesh, log2n: int, backend: str = "auto"):
         if log2per:
             root = _tr.reduce_natural_body(digests_shard, log2per, use_pallas, interpret)
         else:
-            root = digests_shard[0]
+            root = digests_shard[:, 0]
         return _merge_local_roots(root, log2dev, rev_dev)
 
-    sharded = _shard_map(local_step, mesh, in_specs=P(DATA_AXIS, None), out_specs=P())
+    sharded = _shard_map(local_step, mesh, in_specs=P(None, DATA_AXIS), out_specs=P())
     return jax.jit(sharded)
 
 
 def shard_digests(mesh: Mesh, digests):
-    """Place (n, 8) digest rows row-sharded over the mesh (32 B/leaf moves
-    once over ICI; every subsequent reduction step is communication-free
-    until the 32 B/chip root gather)."""
-    return jax.device_put(digests, NamedSharding(mesh, P(DATA_AXIS, None)))
+    """Place (8, n) word-major digest columns column-sharded over the mesh
+    (32 B/leaf moves once over ICI; every subsequent reduction step is
+    communication-free until the 32 B/chip root gather)."""
+    return jax.device_put(digests, NamedSharding(mesh, P(None, DATA_AXIS)))
 
 
 def _shard_map(fn, mesh, in_specs, out_specs):
@@ -117,9 +117,26 @@ def _shard_map(fn, mesh, in_specs, out_specs):
     return shard_map(fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs, **kw)
 
 
+def _words_spec(ndev: int, tiles: int) -> P:
+    """PartitionSpec for a tile-major packed word array (t, W, 8, 128):
+    shard whole tiles when the mesh divides them, else split the sublane
+    axis of the single tile (each sublane is 128 consecutive leaves, so
+    every shard is still an aligned contiguous leaf range)."""
+    if tiles % ndev == 0:
+        return P(DATA_AXIS, None, None, None)
+    if tiles == 1 and 8 % ndev == 0:
+        return P(None, None, DATA_AXIS, None)
+    raise ValueError(
+        f"cannot shard {tiles} tile(s) over {ndev} device(s): each device "
+        f"needs a whole number of 1024-leaf tiles (or a single tile split "
+        f"by sublanes when ndev | 8)"
+    )
+
+
 def make_sharded_root_fn(mesh: Mesh, n_leaves: int, nblocks: int, backend: str = "auto"):
-    """Build a jittable sharded step: packed words (n_leaves, nblocks*16)
-    row-sharded over the mesh -> replicated (8,) root words.
+    """Build a jittable sharded step: tile-major packed words
+    (n_leaves/1024, nblocks*16, 8, 128) sharded over the mesh ->
+    replicated (8,) root words.
 
     ``n_leaves`` must be a power of two divisible by the mesh size; each
     shard is then an aligned perfect subtree, so per-chip roots merge with
@@ -129,49 +146,47 @@ def make_sharded_root_fn(mesh: Mesh, n_leaves: int, nblocks: int, backend: str =
     ndev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
     if not is_pow2(n_leaves) or n_leaves % ndev or not is_pow2(ndev):
         raise ValueError("n_leaves and mesh size must be powers of two with ndev | n_leaves")
+    if n_leaves % (8 * 128):
+        # The tile-major wire format pads the last tile with zero rows; a
+        # padded shard would cover a different leaf range than the tree
+        # assigns its device.  Whole-tile multiples keep shards exact.
+        raise ValueError("sharded root requires n_leaves to be a multiple of 1024")
+    tiles = n_leaves // (8 * 128)
+    spec = _words_spec(ndev, tiles)
     per = n_leaves // ndev
     log2per = ceil_log2(per) if per > 1 else 0
     log2dev = ceil_log2(ndev) if ndev > 1 else 0
     interpret = jax.default_backend() != "tpu"
-    use_pallas = backend == "pallas" or (backend == "auto" and not interpret)
+    # Sub-tile shards (a single tile split along sublanes) take the XLA
+    # fallback — the Pallas kernel's block shapes assume whole (8,128)
+    # tiles; real multi-chip runs shard whole tiles and keep Pallas.
+    whole_tiles = spec[0] == DATA_AXIS or ndev == 1
+    use_pallas = (backend == "pallas" or (backend == "auto" and not interpret)) and whole_tiles
     rev_dev = jnp.asarray(_tr._bitrev(log2dev)) if log2dev else None
 
     def local_step(words_shard):
-        digests = _lh._bucket_hashes(words_shard, nblocks, use_pallas, interpret)
+        if use_pallas or words_shard.shape[2] == 8:
+            digests = _lh._bucket_hashes(words_shard, nblocks, use_pallas, interpret)
+        else:
+            # Sub-tile shard: hash via the word-column XLA path directly.
+            s = words_shard.shape[2]
+            cols = words_shard.transpose(1, 0, 2, 3).reshape(nblocks * 16, s * 128)
+            blocks = [[cols[b * 16 + i] for i in range(16)] for b in range(nblocks)]
+            from ..ops import sha256_core
+
+            digests = jnp.stack(sha256_core.leaf_digest_words(blocks, unroll=False), axis=0)
+        digests = digests[:, :per]
         if log2per:
             root = _tr.reduce_natural_body(digests, log2per, use_pallas, interpret)
         else:
-            root = digests[0]
-        if not log2dev:
-            return root
-        roots = jax.lax.all_gather(root, DATA_AXIS)  # (ndev, 8) — 32 B/chip
-        fold2 = jnp.take(roots, rev_dev, axis=0)
-        # Top of the tree: identical (replicated) computation on every chip,
-        # ndev is small so the XLA elementwise fold is the right shape.
-        x = fold2.T
-        while x.shape[1] > 1:
-            x = _tr._fold_level_xla(x)
-        return x[:, 0]
+            root = digests[:, 0]
+        return _merge_local_roots(root, log2dev, rev_dev)
 
-    try:
-        from jax import shard_map
-
-        kw = {"check_vma": False}
-    except ImportError:  # older JAX
-        from jax.experimental.shard_map import shard_map
-
-        kw = {"check_rep": False}
-
-    sharded = shard_map(
-        local_step,
-        mesh=mesh,
-        in_specs=P(DATA_AXIS, None),
-        out_specs=P(),
-        **kw,
-    )
+    sharded = _shard_map(local_step, mesh, in_specs=spec, out_specs=P())
     return jax.jit(sharded)
 
 
 def shard_words(mesh: Mesh, words: np.ndarray):
-    """Place a packed word array row-sharded over the mesh."""
-    return jax.device_put(words, NamedSharding(mesh, P(DATA_AXIS, None)))
+    """Place a tile-major packed word array sharded over the mesh."""
+    ndev = _mesh_ndev(mesh)
+    return jax.device_put(words, NamedSharding(mesh, _words_spec(ndev, words.shape[0])))
