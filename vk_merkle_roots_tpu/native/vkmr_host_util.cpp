@@ -12,30 +12,141 @@
 #include <cstring>
 #include <vector>
 
+#if defined(__AVX2__)
+#include <immintrin.h>
+#endif
+
 namespace {
 
-inline uint32_t load_be32(const uint8_t* p) {
-  return (uint32_t(p[0]) << 24) | (uint32_t(p[1]) << 16) | (uint32_t(p[2]) << 8) |
-         uint32_t(p[3]);
+// FIPS-pad one leaf into a scratch row of `pitch_bytes`: payload, 0x80,
+// zero fill, and the 64-bit big-endian bit length ending at byte `end`
+// (== pitch_bytes for exact buckets; the real padded boundary for stream
+// buckets, whose remaining words up to the rung capacity stay zero).
+inline void pad_row(uint8_t* rb, const uint8_t* src, int64_t len, int64_t end,
+                    int64_t pitch_bytes) {
+  std::memcpy(rb, src, size_t(len));
+  rb[size_t(len)] = 0x80;
+  std::memset(rb + len + 1, 0, size_t(pitch_bytes - len - 1));
+  const uint64_t bits = uint64_t(len) * 8;
+  for (int i = 0; i < 8; ++i)
+    rb[size_t(end - 8 + i)] = uint8_t(bits >> (56 - 8 * i));
 }
 
-}  // namespace
+// Write one 16-leaf group into the tile-major wire format: word w of group
+// row j lands at out[w*1024 + j] (caller passes out pre-offset to the
+// group's tile/lane base).  `rows` is 16 contiguous little-endian padded
+// rows of W words.  The naive per-word scatter wrote single u32s at 4 KB
+// stride — every store mapped to the SAME L1 set (stride 4096 fixes the
+// set-index bits), thrashing the 8-way set and pushing each store to L2 —
+// so instead we transpose 16 rows at a time and emit every 64-byte output
+// line exactly once, full, with a streaming store when alignment allows.
+#if defined(__AVX2__)
+inline void transpose8x8_store(const uint8_t* rows, int64_t pitch, int64_t w,
+                               uint32_t* out, int jg, bool stream) {
+  const __m256i bswap = _mm256_setr_epi8(
+      3, 2, 1, 0, 7, 6, 5, 4, 11, 10, 9, 8, 15, 14, 13, 12,
+      3, 2, 1, 0, 7, 6, 5, 4, 11, 10, 9, 8, 15, 14, 13, 12);
+  __m256i r[8];
+  for (int k = 0; k < 8; ++k)
+    r[k] = _mm256_shuffle_epi8(
+        _mm256_loadu_si256(reinterpret_cast<const __m256i*>(
+            rows + (jg + k) * pitch + w * 4)),
+        bswap);
+  __m256i t[8];
+  for (int k = 0; k < 8; k += 2) {
+    t[k] = _mm256_unpacklo_epi32(r[k], r[k + 1]);
+    t[k + 1] = _mm256_unpackhi_epi32(r[k], r[k + 1]);
+  }
+  __m256i u[8];
+  u[0] = _mm256_unpacklo_epi64(t[0], t[2]);
+  u[1] = _mm256_unpackhi_epi64(t[0], t[2]);
+  u[2] = _mm256_unpacklo_epi64(t[1], t[3]);
+  u[3] = _mm256_unpackhi_epi64(t[1], t[3]);
+  u[4] = _mm256_unpacklo_epi64(t[4], t[6]);
+  u[5] = _mm256_unpackhi_epi64(t[4], t[6]);
+  u[6] = _mm256_unpacklo_epi64(t[5], t[7]);
+  u[7] = _mm256_unpackhi_epi64(t[5], t[7]);
+  static const int lo[4] = {0, 1, 2, 3};
+  for (int k = 0; k < 4; ++k) {
+    __m256i a = _mm256_permute2x128_si256(u[lo[k]], u[4 + lo[k]], 0x20);
+    __m256i b = _mm256_permute2x128_si256(u[lo[k]], u[4 + lo[k]], 0x31);
+    uint32_t* pa = out + (w + k) * 1024 + jg;
+    uint32_t* pb = out + (w + 4 + k) * 1024 + jg;
+    if (stream) {
+      _mm256_stream_si256(reinterpret_cast<__m256i*>(pa), a);
+      _mm256_stream_si256(reinterpret_cast<__m256i*>(pb), b);
+    } else {
+      _mm256_storeu_si256(reinterpret_cast<__m256i*>(pa), a);
+      _mm256_storeu_si256(reinterpret_cast<__m256i*>(pb), b);
+    }
+  }
+}
+#endif
 
-namespace {
+inline void transpose_group16(const uint8_t* rows, int64_t pitch, int64_t W,
+                              uint32_t* out) {
+  int64_t w = 0;
+#if defined(__AVX2__)
+  const bool stream = (reinterpret_cast<uintptr_t>(out) & 31) == 0;
+  for (; w + 8 <= W; w += 8) {
+    transpose8x8_store(rows, pitch, w, out, 0, stream);
+    transpose8x8_store(rows, pitch, w, out, 8, stream);
+  }
+#endif
+  for (; w < W; ++w) {
+    uint32_t line[16];
+    for (int j = 0; j < 16; ++j) {
+      uint32_t v;
+      std::memcpy(&v, rows + j * pitch + w * 4, 4);
+      line[j] = __builtin_bswap32(v);
+    }
+    std::memcpy(out + w * 1024, line, 64);
+  }
+}
 
-// Scatter one leaf's padded big-endian words into the tile-major device
-// wire format: word w of leaf r lands at out[((r/1024)*W + w)*1024 +
-// (r%1024)].  `row` holds the leaf's padded bytes (little-endian memory);
-// `nwords` is how many leading words are real (the rest of the row in the
-// output was calloc-zeroed by the caller and is endian-invariant zero).
-// The write stride is 4 KB, but consecutive leaves hit consecutive lanes
-// of the same cache lines, so a 128-leaf run revisits each line 16 times
-// while it is still resident.
-inline void scatter_leaf_words(const uint8_t* row, int64_t nwords, int64_t r,
-                               int64_t words_per_leaf, uint32_t* out) {
-  uint32_t* base = out + (r >> 10) * words_per_leaf * 1024 + (r & 1023);
-  for (int64_t w = 0; w < nwords; ++w)
-    base[w << 10] = load_be32(row + w * 4);
+// Shared driver for both packers: pad leaves 16 at a time into contiguous
+// scratch rows, then transpose each group into the tile-major output.
+// Groups are 16-lane-aligned so they never straddle a tile (16 | 1024).
+// `exact` buckets place the length footer at the full row pitch; stream
+// buckets at each leaf's real padded boundary.  Partial tail groups zero
+// their unused scratch rows, so rows past n are written as zeros (the
+// caller may hand in uninitialized memory as long as row slack beyond
+// ceil(n/16)*16 is already zero — np.zeros today).
+void pack_tiles_grouped(const uint8_t* data, const int64_t* offsets,
+                        const int64_t* lengths, int64_t n, int64_t words_per,
+                        bool exact, uint32_t* out) {
+  const int64_t pitch_bytes = words_per * 4;
+  const int64_t ngroups = (n + 15) / 16;
+#pragma omp parallel
+  {
+    std::vector<uint8_t> scratch(size_t(16 * pitch_bytes));
+#pragma omp for schedule(dynamic, 8)
+    for (int64_t g = 0; g < ngroups; ++g) {
+      const int64_t r0 = g * 16;
+      const int cnt = int(n - r0 < 16 ? n - r0 : 16);
+      // Stream rows shorter than the rung capacity keep their calloc-zero
+      // word planes past the group's longest real row — when the caller
+      // sorts the bucket by block count, groups are near-homogeneous and
+      // the zero tail of the rung is never touched at all.
+      int64_t group_w = exact ? words_per : 0;
+      for (int j = 0; j < cnt; ++j) {
+        const int64_t len = lengths[r0 + j];
+        const int64_t end =
+            exact ? pitch_bytes : ((len + 9 + 63) / 64) * 64;
+        if (!exact && end / 4 > group_w) group_w = end / 4;
+        pad_row(scratch.data() + j * pitch_bytes, data + offsets[r0 + j], len,
+                end, pitch_bytes);
+      }
+      if (cnt < 16)
+        std::memset(scratch.data() + cnt * pitch_bytes, 0,
+                    size_t((16 - cnt) * pitch_bytes));
+      uint32_t* base = out + (r0 >> 10) * words_per * 1024 + (r0 & 1023);
+      transpose_group16(scratch.data(), pitch_bytes, group_w, base);
+    }
+  }
+#if defined(__AVX2__)
+  _mm_sfence();  // order the streaming stores before the caller reads
+#endif
 }
 
 }  // namespace
@@ -53,24 +164,8 @@ extern "C" {
 void vkmr_pack_bucket_tiles(const uint8_t* data, const int64_t* offsets,
                             const int64_t* lengths, int64_t n, int32_t nblocks,
                             uint32_t* out) {
-  const int64_t words_per = int64_t(nblocks) * 16;
-  const int64_t pitch_bytes = int64_t(nblocks) * 64;
-#pragma omp parallel
-  {
-    std::vector<uint8_t> row((size_t)pitch_bytes);
-#pragma omp for schedule(dynamic, 512)
-    for (int64_t i = 0; i < n; ++i) {
-      const int64_t len = lengths[i];
-      uint8_t* rb = row.data();
-      std::memcpy(rb, data + offsets[i], size_t(len));
-      rb[size_t(len)] = 0x80;
-      std::memset(rb + len + 1, 0, size_t(pitch_bytes - len - 1));
-      const uint64_t bits = uint64_t(len) * 8;
-      for (int i2 = 0; i2 < 8; ++i2)
-        rb[size_t(pitch_bytes - 8 + i2)] = uint8_t(bits >> (56 - 8 * i2));
-      scatter_leaf_words(rb, words_per, i, words_per, out);
-    }
-  }
+  pack_tiles_grouped(data, offsets, lengths, n, int64_t(nblocks) * 16,
+                     /*exact=*/true, out);
 }
 
 // Pack a *stream* bucket into the same tile-major wire format: rows of
@@ -81,25 +176,8 @@ void vkmr_pack_bucket_tiles(const uint8_t* data, const int64_t* offsets,
 void vkmr_pack_stream_bucket_tiles(const uint8_t* data, const int64_t* offsets,
                                    const int64_t* lengths, int64_t n,
                                    int32_t cap_blocks, uint32_t* out) {
-  const int64_t words_per = int64_t(cap_blocks) * 16;
-#pragma omp parallel
-  {
-    std::vector<uint8_t> row;
-#pragma omp for schedule(dynamic, 16)
-    for (int64_t i = 0; i < n; ++i) {
-      const int64_t len = lengths[i];
-      const int64_t end = ((len + 9 + 63) / 64) * 64;  // real padded bytes
-      if (int64_t(row.size()) < end) row.resize(size_t(end));
-      uint8_t* rb = row.data();
-      std::memcpy(rb, data + offsets[i], size_t(len));
-      rb[size_t(len)] = 0x80;
-      std::memset(rb + len + 1, 0, size_t(end - len - 1));
-      const uint64_t bits = uint64_t(len) * 8;
-      for (int i2 = 0; i2 < 8; ++i2)
-        rb[size_t(end - 8 + i2)] = uint8_t(bits >> (56 - 8 * i2));
-      scatter_leaf_words(rb, end / 4, i, words_per, out);
-    }
-  }
+  pack_tiles_grouped(data, offsets, lengths, n, int64_t(cap_blocks) * 16,
+                     /*exact=*/false, out);
 }
 
 // glibc-compatible TYPE_3 additive-feedback rand(), reimplemented from the

@@ -237,6 +237,10 @@ def pack_spans(
         for cap in np.unique(caps):
             members = long_blocks[caps == cap]
             idx = np.flatnonzero(np.isin(nblocks, members))
+            # Sort by real block count so the native packer's 16-leaf groups
+            # are length-homogeneous: each group only writes word planes up
+            # to its longest member, leaving the rung's zero tail untouched.
+            idx = idx[np.argsort(nblocks[idx], kind="stable")]
             words = _pack_stream_tiles(data, offsets[idx], lengths[idx], int(cap))
             buckets.append(
                 Bucket(int(cap), words, int(idx.size), counts=nblocks[idx].astype(np.int32))
