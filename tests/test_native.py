@@ -152,3 +152,45 @@ def test_packing_native_vs_numpy_fallback(rng, monkeypatch):
     without = pack_leaves(leaves)
     for a, b in zip(with_native.buckets, without.buckets):
         np.testing.assert_array_equal(a.words, b.words)
+
+def test_grouped_packer_edges_vs_fallback(rng, monkeypatch):
+    """The 16-leaf group-transpose packer across its edge cases: partial
+    tail groups (n % 16 != 0), multi-tile buckets (n > 1024), and stream
+    buckets whose groups mix block counts (the group-max word bound must
+    still zero every plane a shorter member's predication reads)."""
+    import vk_merkle_roots_tpu.native.lib as nlib
+    from vk_merkle_roots_tpu.packing import UNROLL_MAX_BLOCKS, pack_spans
+
+    sizes = [1, 15, 16, 17, 1023, 1024, 1041]
+    for n in sizes:
+        lens = rng.integers(1, 64 * (UNROLL_MAX_BLOCKS + 40), size=n).astype(np.int64)
+        offs = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        data = rng.integers(0, 256, size=int(lens.sum()), dtype=np.uint8)
+        with_native = pack_spans(data, offs, lens)
+        with monkeypatch.context() as m:
+            m.setattr(nlib, "_load", lambda: None)
+            without = pack_spans(data, offs, lens)
+        assert [b.nblocks for b in with_native.buckets] == [
+            b.nblocks for b in without.buckets
+        ]
+        np.testing.assert_array_equal(with_native.order, without.order)
+        for a, b in zip(with_native.buckets, without.buckets):
+            np.testing.assert_array_equal(a.words, b.words)
+            if a.counts is not None:
+                np.testing.assert_array_equal(a.counts, b.counts)
+
+
+def test_grouped_packer_rows_past_n_zero(rng):
+    """Rows past the leaf count stay zero (tail scratch rows are zeroed
+    before the transpose; tile slack is never touched)."""
+    n = 37  # two full groups + a 5-leaf tail, one tile of slack rows
+    lens = np.full(n, 119, np.int64)
+    offs = np.arange(n, dtype=np.int64) * 119
+    data = rng.integers(0, 256, size=119 * n, dtype=np.uint8)
+    out = nl.native_pack_bucket_tiles(data, offs, lens, 2, 1)
+    flat = out.reshape(1, 32, 1024)  # [tile, word, lane]
+    assert flat[0, :, n:].sum() == 0
+    for i in range(n):
+        np.testing.assert_array_equal(
+            flat[0, :, i], reference_padded_words(data[offs[i] : offs[i] + 119].tobytes())
+        )
