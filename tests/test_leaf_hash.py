@@ -132,3 +132,26 @@ def test_stream_mixed_with_exact_and_host(rng):
     digs = np.asarray(leaf_hashes(packed, backend="xla")).T[: packed.count]
     for i, leaf in enumerate(leaves):
         assert words_to_digest(digs[i]) == oracle.leaf_hash(leaf), f"leaf {i}"
+
+
+def test_stream_counts_do_not_mint_compiled_shapes(rng):
+    """Quantized-shapes invariant: hashing stream buckets with different
+    exact leaf counts (same tile quantization) must reuse ONE compiled
+    program — the per-lane counts array is padded to the quantized column
+    count on the host before it reaches the jitted kernel (an exact-length
+    counts shape minted a fresh multi-minute Mosaic compile per novel
+    count)."""
+    from vk_merkle_roots_tpu.ops.leaf_hash import _stream_bucket_hashes, leaf_hashes
+    from vk_merkle_roots_tpu.packing import pack_leaves
+
+    def hash_n(n):
+        leaves = [rng.integers(0, 256, 700, np.uint8).tobytes() for _ in range(n)]
+        packed = pack_leaves(leaves)
+        assert packed.buckets[0].counts is not None
+        leaf_hashes(packed, backend="xla")
+
+    hash_n(3)  # establish the single quantized shape (may already be cached)
+    before = _stream_bucket_hashes._cache_size()
+    hash_n(7)
+    hash_n(11)
+    assert _stream_bucket_hashes._cache_size() == before

@@ -33,6 +33,17 @@ DIGEST_BYTES = 32
 BLOCK_WORDS = 16  # SHA256_MESSAGE_BLOCK_WC (SHA-256defs.h:35)
 BLOCK_BYTES = 64
 
+# Device tile geometry: one VPU vector register is (8 sublanes, 128 lanes);
+# one *tile* holds 1024 leaves (or digests), one per lane position.  The
+# tile-major wire format places word w of leaf r at
+# ``[r // TILE, w, (r % TILE) // TILE_LANE, r % TILE_LANE]`` — every module
+# (host packer contract, Pallas block shapes, mesh sharding specs) derives
+# its geometry from these three constants; the native packer's matching
+# literals are pinned by the differential tests.
+TILE_SUB = 8
+TILE_LANE = 128
+TILE = TILE_SUB * TILE_LANE
+
 # Per-leaf size limit, matching the reference's documented 2^32-byte input
 # limit (SHA-256defs.h:28-31).  NOTE on fidelity: the reference's padding
 # writes the top length word as ``size & 0xE0000000`` (MB_SIZE_TOP,

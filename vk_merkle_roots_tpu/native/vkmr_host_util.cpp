@@ -143,10 +143,15 @@ void pack_tiles_grouped(const uint8_t* data, const int64_t* offsets,
       uint32_t* base = out + (r0 >> 10) * words_per * 1024 + (r0 & 1023);
       transpose_group16(scratch.data(), pitch_bytes, group_w, base);
     }
-  }
 #if defined(__AVX2__)
-  _mm_sfence();  // order the streaming stores before the caller reads
+    // Each thread drains its own write-combining buffers before reaching
+    // the parallel region's closing barrier: SFENCE orders only the
+    // executing core's non-temporal stores, so fencing on the master
+    // thread alone would leave workers' NT stores ordered merely by
+    // whatever the OpenMP barrier happens to do.
+    _mm_sfence();
 #endif
+  }
 }
 
 }  // namespace

@@ -42,12 +42,9 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ..constants import TILE, TILE_LANE, TILE_SUB
 from ..packing import PackedLeaves, quantized_tiles
 from . import sha256_core
-
-TILE_SUB = 8
-TILE_LANE = 128
-TILE = TILE_SUB * TILE_LANE  # leaves per tile
 
 # Tiles hashed per mapping grid step (see module docstring; 4 measured best,
 # with 2 within noise and 8+ regressing on VMEM pressure at large nblocks).
@@ -71,6 +68,18 @@ def _leaf_kernel(x_ref, o_ref, *, nblocks: int):
         o_ref[j] = state[j]
 
 
+def words_to_digest_cols_xla(words, nblocks: int):
+    """(t, nblocks*16, s, 128) tile-major words -> (8, t*s*128) word-major
+    digest columns via the rolled-XLA path.  Shared by the fallback branch
+    of :func:`_bucket_hashes` (s == 8) and the mesh engine's sub-tile
+    shards (s < 8, ``parallel/mesh.py``) so the two XLA dataflows cannot
+    drift apart."""
+    t, wcount, s, lanes = words.shape
+    cols = words.transpose(1, 0, 2, 3).reshape(wcount, t * s * lanes)
+    blocks = [[cols[b * 16 + i] for i in range(16)] for b in range(nblocks)]
+    return jnp.stack(sha256_core.leaf_digest_words(blocks, unroll=False), axis=0)
+
+
 @partial(jax.jit, static_argnums=(1, 2, 3))
 def _bucket_hashes(tiles, nblocks: int, use_pallas: bool, interpret: bool):
     """(t, nblocks*16, 8, 128) tile-major big-endian words -> (8, t*1024)
@@ -78,10 +87,7 @@ def _bucket_hashes(tiles, nblocks: int, use_pallas: bool, interpret: bool):
     t = tiles.shape[0]
     wcount = nblocks * 16
     if not use_pallas:
-        cols = tiles.transpose(1, 0, 2, 3).reshape(wcount, t * TILE)
-        blocks = [[cols[b * 16 + i] for i in range(16)] for b in range(nblocks)]
-        state = sha256_core.leaf_digest_words(blocks, unroll=False)
-        return jnp.stack(state, axis=0)
+        return words_to_digest_cols_xla(tiles, nblocks)
 
     bt = min(MAP_BLOCK_TILES, t)  # t is a power of two, so bt | t
     out = pl.pallas_call(
@@ -240,9 +246,16 @@ def leaf_hashes(packed: PackedLeaves, backend: str = "auto", device=None) -> jax
     base = 0
     for b in packed.buckets:
         if b.counts is not None:  # stream bucket: block-loop kernel
+            # Pad the per-lane block counts to the quantized column count on
+            # the HOST: the jitted kernel caches per argument shape, and an
+            # exact-length counts array would mint a fresh XLA+Mosaic
+            # compile for every novel leaf count in the stream (violating
+            # the quantized-shapes invariant; first compiles cost minutes).
+            lane_counts = np.zeros(quantized_tiles(b.count) * TILE, np.int32)
+            lane_counts[: b.count] = b.counts
             parts.append(
                 _stream_bucket_hashes(
-                    _put(b.words), _put(b.counts), b.nblocks, use_pallas, interpret
+                    _put(b.words), _put(lane_counts), b.nblocks, use_pallas, interpret
                 )
             )
         else:

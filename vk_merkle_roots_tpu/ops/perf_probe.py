@@ -33,10 +33,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ..constants import TILE_LANE, TILE_SUB
 from . import sha256_core
-
-TILE_SUB = 8
-TILE_LANE = 128
 
 # Primitives that map 1:1 to a VPU uint32 vector ALU op.  Everything else a
 # SHA jaxpr contains (broadcasts of host-folded constants, reshapes) is

@@ -53,13 +53,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .. import oracle
+from ..constants import TILE, TILE_LANE, TILE_SUB
 from ..utils.bitmath import bit_reverse_indices, ceil_log2
 from ..utils.hexutil import words_to_digest
 from . import sha256_core
-
-TILE_SUB = 8
-TILE_LANE = 128
-TILE = TILE_SUB * TILE_LANE
 
 
 def _use_interpret() -> bool:

@@ -20,12 +20,14 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from .constants import BLOCK_BYTES, MAX_LEAF_BYTES, padded_block_count
-
-
-TILE_SUB = 8
-TILE_LANE = 128
-TILE = TILE_SUB * TILE_LANE  # leaves per device tile
+from .constants import (
+    BLOCK_BYTES,
+    MAX_LEAF_BYTES,
+    TILE,
+    TILE_LANE,
+    TILE_SUB,
+    padded_block_count,
+)
 
 
 def quantized_tiles(n: int) -> int:

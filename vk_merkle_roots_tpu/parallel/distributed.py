@@ -99,8 +99,12 @@ def demo_main(argv=None) -> int:
         rng.integers(32, 126, size=a.leaf_bytes, dtype=np.uint8).tobytes()
         for _ in range(a.leaves)
     ]
-    if a.leaves % (1024 * nproc):
-        raise SystemExit("--leaves must be a multiple of 1024 * num processes")
+    # Whole 1024-leaf tiles per *device* (not per process): the sharded
+    # words path splits along the tile axis, and a multi-device process
+    # would otherwise pass here and then fail inside make_sharded_root_fn
+    # with an opaque mesh error.
+    if a.leaves % (1024 * jax.device_count()):
+        raise SystemExit("--leaves must be a multiple of 1024 * total device count")
     packed = pack_leaves(leaves)
     assert len(packed.buckets) == 1, "demo uses one fixed-size bucket"
     words = packed.buckets[0].words  # tile-major (t, W, 8, 128)

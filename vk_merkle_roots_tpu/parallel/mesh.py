@@ -30,6 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from ..constants import TILE
 from ..utils.bitmath import ceil_log2, is_pow2
 from ..ops import leaf_hash as _lh
 from ..ops import tree_reduce as _tr
@@ -146,12 +147,12 @@ def make_sharded_root_fn(mesh: Mesh, n_leaves: int, nblocks: int, backend: str =
     ndev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
     if not is_pow2(n_leaves) or n_leaves % ndev or not is_pow2(ndev):
         raise ValueError("n_leaves and mesh size must be powers of two with ndev | n_leaves")
-    if n_leaves % (8 * 128):
+    if n_leaves % TILE:
         # The tile-major wire format pads the last tile with zero rows; a
         # padded shard would cover a different leaf range than the tree
         # assigns its device.  Whole-tile multiples keep shards exact.
         raise ValueError("sharded root requires n_leaves to be a multiple of 1024")
-    tiles = n_leaves // (8 * 128)
+    tiles = n_leaves // TILE
     spec = _words_spec(ndev, tiles)
     per = n_leaves // ndev
     log2per = ceil_log2(per) if per > 1 else 0
@@ -168,13 +169,9 @@ def make_sharded_root_fn(mesh: Mesh, n_leaves: int, nblocks: int, backend: str =
         if use_pallas or words_shard.shape[2] == 8:
             digests = _lh._bucket_hashes(words_shard, nblocks, use_pallas, interpret)
         else:
-            # Sub-tile shard: hash via the word-column XLA path directly.
-            s = words_shard.shape[2]
-            cols = words_shard.transpose(1, 0, 2, 3).reshape(nblocks * 16, s * 128)
-            blocks = [[cols[b * 16 + i] for i in range(16)] for b in range(nblocks)]
-            from ..ops import sha256_core
-
-            digests = jnp.stack(sha256_core.leaf_digest_words(blocks, unroll=False), axis=0)
+            # Sub-tile shard (a single tile split along sublanes): the
+            # shared word-column XLA path handles any sublane count.
+            digests = _lh.words_to_digest_cols_xla(words_shard, nblocks)
         digests = digests[:, :per]
         if log2per:
             root = _tr.reduce_natural_body(digests, log2per, use_pallas, interpret)
