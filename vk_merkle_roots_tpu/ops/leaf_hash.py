@@ -34,6 +34,7 @@ Both a Pallas kernel and a pure-XLA fallback trace the same
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -46,9 +47,11 @@ from ..constants import TILE, TILE_LANE, TILE_SUB
 from ..packing import PackedLeaves, quantized_tiles
 from . import sha256_core
 
-# Tiles hashed per mapping grid step (see module docstring; 4 measured best,
-# with 2 within noise and 8+ regressing on VMEM pressure at large nblocks).
-MAP_BLOCK_TILES = 4
+# Tiles hashed per mapping grid step (see module docstring).  Swept on-chip:
+# 4 -> 56.3 GB/s, 8 -> 56.2, 16 -> 48.6 (VMEM pressure); override with
+# VKMR_MAP_TILES to re-measure (docs/PERF.md §4) — read at import, traced
+# into the jitted kernels.
+MAP_BLOCK_TILES = int(os.environ.get("VKMR_MAP_TILES", "4"))
 
 
 def _use_interpret() -> bool:

@@ -44,6 +44,7 @@ larger jit for the fused fixed-shape step.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -69,10 +70,12 @@ def _use_interpret() -> bool:
 # Tiles hashed per fold grid step.  One tile is only ~2.9 us of VPU work;
 # at B=1 the fixed per-grid-step cost (DMA window swaps, semaphores) eats
 # ~35% of the level — measured 13.3 GB/s (B=1) vs 20.8 GB/s (B=8) on the
-# 2^23-digest tree, with B=16 regressing (VMEM pressure).  The kernel body
-# is ONE node_hash traced on (b, 8, 128) operands, so larger B means larger
-# vector shapes, not more Mosaic code.
-FOLD_BLOCK_TILES = 8
+# 2^23-digest tree; the round-3 re-sweep confirms B=8 optimal (21.9 GB/s
+# vs 16.0 at B=16, 11.5 at B=32 — VMEM pressure).  The kernel body is ONE
+# node_hash traced on (b, 8, 128) operands, so larger B means larger
+# vector shapes, not more Mosaic code.  Override with VKMR_FOLD_TILES to
+# re-measure (docs/PERF.md §4); read at import.
+FOLD_BLOCK_TILES = int(os.environ.get("VKMR_FOLD_TILES", "8"))
 
 
 def _fold_kernel(l_ref, r_ref, o_ref):
