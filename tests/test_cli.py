@@ -120,3 +120,13 @@ def test_auto_slice_log2_math(monkeypatch):
     # Huge budget is capped.
     monkeypatch.setattr(jax, "devices", lambda: [FakeDev(1 << 50)])
     assert auto_slice_log2() == 26
+
+
+def test_sharded_flag_requires_mesh_engine():
+    """--sharded is only consulted by the MESH engine; any other engine
+    must refuse instead of silently running single-device reductions."""
+    r = _run_cli(["XLA", "--sharded"], b"a\nb\n")
+    assert r.returncode == 1
+    assert b"--sharded requires the MESH engine" in r.stderr
+    r2 = _run_cli(["MESH", "--sharded", "--slice-log2", "13"], b"a\nb\nc\n")
+    assert r2.returncode == 0, r2.stderr.decode()

@@ -174,3 +174,42 @@ def test_resume_against_perturbed_stream_refuses(tmp_path):
     # The untouched stream still resumes fine.
     d = _run_cli(["XLA", "--slice-log2", "6", "--journal", journal], stream)
     assert d.returncode == 0, d.stderr.decode()
+
+
+def test_resume_against_truncated_stream_refuses(tmp_path):
+    """A re-fed stream that ends before covering the journaled prefix is a
+    different input: the CLI must refuse, not print the journaled root
+    with a bogus item count (the integrity check never runs when the skip
+    loop is starved)."""
+    from tests.test_cli import _run_cli
+
+    stream = b"".join(bytes([65 + i % 26]) * (1 + i % 50) + b"\n" for i in range(200))
+    journal = str(tmp_path / "j.jsonl")
+    a = _run_cli(["XLA", "--slice-log2", "6", "--journal", journal], stream)
+    assert a.returncode == 0, a.stderr.decode()
+
+    # Keep only the first 100 lines — fewer than the 192 journaled leaves.
+    truncated = b"\n".join(stream.split(b"\n")[:100]) + b"\n"
+    b = _run_cli(["XLA", "--slice-log2", "6", "--journal", journal], truncated)
+    assert b.returncode == 1
+    assert b"journal/stream mismatch" in b.stderr
+    assert b"=>" not in b.stdout
+
+
+def test_overlapping_spans_digest_covers_leaf_bytes(tmp_path):
+    """The integrity digest's exotic-span branch must hash each leaf's own
+    bytes (a contiguous range over unordered offsets covers the wrong
+    bytes or none at all)."""
+    import hashlib
+
+    cfg = _cfg(tmp_path, batch_leaves=4)
+    e = TpuSha256D(name="ov", config=cfg)
+    data = np.frombuffer(b"ABCDEFGHIJ" * 20, np.uint8)
+    offsets = np.array([100, 0], np.int64)  # unordered: triggers the branch
+    lengths = np.array([10, 10], np.int64)
+    assert e.AddSpans(data, offsets, lengths)
+    want = hashlib.sha256(
+        data[100:110].tobytes() + data[0:10].tobytes()
+    ).hexdigest()
+    assert e._stream_sha.hexdigest() == want
+    assert e._stream_bytes == 20

@@ -71,3 +71,10 @@ def test_verify_rejects_non_json(tmp_path, capsys):
     empty = tmp_path / "empty.txt"
     empty.write_text("")
     assert verify.main([str(empty), "--leaf-hex", "00"]) == 1
+
+
+def test_rndm_rejects_maxlen_below_two(capsys):
+    from vk_merkle_roots_tpu.tools.rndm import main
+
+    assert main(["7", "5", "1"]) == 1
+    assert "max string length" in capsys.readouterr().err

@@ -103,6 +103,18 @@ def run(
             break
         count += int(lens.size)
         size += int(lens.sum())
+    if skipped < skip_leaves:
+        # The stream ended before covering the journaled prefix: this is a
+        # different (truncated) input, and the integrity check above never
+        # ran.  Refuse rather than print the journaled root with a bogus
+        # item count.
+        print(
+            f"journal/stream mismatch: journal covers {skip_leaves} leaf/"
+            f"leaves but the input stream ended after {skipped}; refusing "
+            "to resume against a shorter stream",
+            file=err,
+        )
+        return 1
     if count > 0:
         root = engine.Root()
         elapsed = sw.Elapsed()
@@ -224,6 +236,13 @@ def main(argv=None) -> int:
     name = aliases.get(name, name)
     if name not in available:
         print("No device selected; aborting.", file=sys.stderr)
+        return 1
+    if args.sharded and name != "MESH":
+        # Only the MESH engine consults sharded_reduce; silently accepting
+        # the flag elsewhere would let the user believe reductions span the
+        # mesh while a single-device engine runs them.
+        print("--sharded requires the MESH engine (got "
+              f"{name!r}); run: vkmr MESH --sharded", file=sys.stderr)
         return 1
 
     # Startup inventory, like the reference's device dump at construction

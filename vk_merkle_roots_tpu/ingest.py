@@ -26,21 +26,28 @@ def iter_line_spans(
     """Yield (data, offsets, lengths) span batches for newline-separated
     lines read from a binary stream.  Lengths may include 0 for empty
     lines — callers filter."""
-    carry = b""
+    # The carry (bytes after the last newline) accumulates as a LIST of
+    # chunks, joined only when a newline finally arrives: rebuilding a
+    # bytes carry on every read would be O(line^2) for lines much larger
+    # than the chunk size (a 1 GB host-routed leaf would memcpy ~64 GB).
+    carry: list[bytes] = []
     while True:
         block = stream.read(chunk_bytes)
         if not block:
             break
-        buf = carry + block
-        last_nl = buf.rfind(b"\n")
-        if last_nl < 0:
-            carry = buf
+        if b"\n" not in block:
+            carry.append(block)
             continue
-        complete, carry = buf[: last_nl + 1], buf[last_nl + 1 :]
+        buf = b"".join(carry) + block if carry else block
+        carry.clear()
+        last_nl = buf.rfind(b"\n")
+        complete, rest = buf[: last_nl + 1], buf[last_nl + 1 :]
+        if rest:
+            carry.append(rest)
         data, offs, lens = split_lines(complete)
         if lens.size:
             yield data, offs, lens
     if carry:
-        data, offs, lens = split_lines(carry)
+        data, offs, lens = split_lines(b"".join(carry))
         if lens.size:
             yield data, offs, lens

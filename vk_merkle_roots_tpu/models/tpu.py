@@ -220,15 +220,21 @@ class TpuSha256D(Sha256dEngine):
         if n == 0:
             return
         ends = np.concatenate([offsets[1:], [offsets[-1] + lengths[-1]]])
-        if n > 1 and bool(np.any(offsets[1:] < offsets[:-1] + lengths[:-1])):
-            # Overlapping/unordered spans (exotic API use): exact per-leaf
-            # coverage.  Deterministic for identical call sequences.
-            ends = offsets + lengths
+        # Overlapping/unordered spans (exotic API use): a contiguous range
+        # would cover the wrong bytes (or none), so hash each leaf's own
+        # span instead.  Deterministic for identical call sequences.
+        per_leaf = n > 1 and bool(np.any(offsets[1:] < offsets[:-1] + lengths[:-1]))
         cap = self._cap
         i = 0
         while i < n:
             j = min(n, i + cap - (self._digested % cap))
-            self._stream_sha.update(data[int(offsets[i]) : int(ends[j - 1])])
+            if per_leaf:
+                for k in range(i, j):
+                    self._stream_sha.update(
+                        data[int(offsets[k]) : int(offsets[k] + lengths[k])]
+                    )
+            else:
+                self._stream_sha.update(data[int(offsets[i]) : int(ends[j - 1])])
             self._stream_bytes += int(lengths[i:j].sum())
             self._digested += j - i
             if self._digested % cap == 0:
@@ -415,6 +421,20 @@ class TpuSha256D(Sha256dEngine):
             if not _is_oom(exc):
                 raise
             self._pending.push_front(chunks[done:])
+            # The appends donate the slice buffer and errors surface
+            # asynchronously, so an OOM raised here may belong to an
+            # *earlier* chunk's computation — in which case the buffer
+            # future (and the digests already folded into it) is poisoned
+            # and `done`/`_fill` overcount.  A tiny readback settles it:
+            # success proves every dispatched append completed and the
+            # committed prefix is intact (degrade is safe); failure means
+            # the slice state is unrecoverable (fail soft, never print a
+            # wrong root).
+            try:
+                np.asarray(self._buf[0, :1])
+            except Exception:
+                event("device_oom", fatal=True, reason="slice buffer lost")
+                return False
             floor = min(1024, self.config.batch_leaves)
             if self._batch_cap <= floor and done == 0:
                 event("device_oom", batch_cap=self._batch_cap, fatal=True)

@@ -52,8 +52,16 @@ def _load():
                 prefix="libvkmr_native_", suffix=".so", delete=False
             )
             tmp.close()
-            shutil.copy2(_SO, tmp.name)
-            lib = ctypes.CDLL(tmp.name)
+            try:
+                shutil.copy2(_SO, tmp.name)
+                lib = ctypes.CDLL(tmp.name)
+            finally:
+                # The dlopen mapping persists after unlink; without this,
+                # every stale-ABI process leaks one copy into the tmp dir.
+                try:
+                    os.unlink(tmp.name)
+                except OSError:
+                    pass
         except Exception:
             import warnings
 

@@ -34,7 +34,6 @@ Both a Pallas kernel and a pure-XLA fallback trace the same
 
 from __future__ import annotations
 
-import os
 from functools import partial
 
 import jax
@@ -44,6 +43,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..constants import TILE, TILE_LANE, TILE_SUB
+from ..utils.bitmath import pow2_env
 from ..packing import PackedLeaves, quantized_tiles
 from . import sha256_core
 
@@ -51,7 +51,7 @@ from . import sha256_core
 # 4 -> 56.3 GB/s, 8 -> 56.2, 16 -> 48.6 (VMEM pressure); override with
 # VKMR_MAP_TILES to re-measure (docs/PERF.md §4) — read at import, traced
 # into the jitted kernels.
-MAP_BLOCK_TILES = int(os.environ.get("VKMR_MAP_TILES", "4"))
+MAP_BLOCK_TILES = pow2_env("VKMR_MAP_TILES", 4)
 
 
 def _use_interpret() -> bool:

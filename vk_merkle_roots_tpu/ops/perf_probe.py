@@ -150,31 +150,39 @@ def _probe_kernel(x_ref, o_ref):
     o_ref[0, 0] = acc
 
 
-@partial(jax.jit, static_argnums=(1,))
-def _probe_step(x, iters: int):
-    t = x.shape[0]
+def _make_probe_step(kernel):
+    """Jitted dependent-loop driver shared by both probes: ``iters``
+    back-to-back kernel launches chained through one scalar so the device
+    cannot overlap or elide them (bench.py's timing discipline)."""
 
-    call = pl.pallas_call(
-        _probe_kernel,
-        grid=(t,),
-        in_specs=[
-            pl.BlockSpec(
-                (1, 16, TILE_SUB, TILE_LANE), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
-            )
-        ],
-        out_specs=pl.BlockSpec(
-            (1, 1, TILE_SUB, TILE_LANE), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((t, 1, TILE_SUB, TILE_LANE), jnp.uint32),
-    )
+    @partial(jax.jit, static_argnums=(1,))
+    def step(x, iters: int):
+        t = x.shape[0]
+        call = pl.pallas_call(
+            kernel,
+            grid=(t,),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, 16, TILE_SUB, TILE_LANE),
+                    lambda i: (i, 0, 0, 0),
+                    memory_space=pltpu.VMEM,
+                )
+            ],
+            out_specs=pl.BlockSpec(
+                (1, 1, TILE_SUB, TILE_LANE), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct((t, 1, TILE_SUB, TILE_LANE), jnp.uint32),
+        )
 
-    def body(_, carry):
-        w, acc = carry
-        out = call(w)
-        w = w.at[0, 0, 0, 0].add(out[0, 0, 0, 0])
-        return (w, acc ^ out[0, 0, 0, 1])
+        def body(_, carry):
+            w, acc = carry
+            out = call(w)
+            w = w.at[0, 0, 0, 0].add(out[0, 0, 0, 0])
+            return (w, acc ^ out[0, 0, 0, 1])
 
-    return jax.lax.fori_loop(0, iters, body, (x, jnp.uint32(0)))
+        return jax.lax.fori_loop(0, iters, body, (x, jnp.uint32(0)))
+
+    return step
 
 
 def _rot_probe_kernel(x_ref, o_ref):
@@ -206,67 +214,44 @@ def _rot_probe_kernel(x_ref, o_ref):
     o_ref[0, 0] = acc
 
 
-@partial(jax.jit, static_argnums=(1,))
-def _rot_probe_step(x, iters: int):
-    t = x.shape[0]
-
-    call = pl.pallas_call(
-        _rot_probe_kernel,
-        grid=(t,),
-        in_specs=[
-            pl.BlockSpec(
-                (1, 16, TILE_SUB, TILE_LANE), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
-            )
-        ],
-        out_specs=pl.BlockSpec(
-            (1, 1, TILE_SUB, TILE_LANE), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((t, 1, TILE_SUB, TILE_LANE), jnp.uint32),
-    )
-
-    def body(_, carry):
-        w, acc = carry
-        out = call(w)
-        w = w.at[0, 0, 0, 0].add(out[0, 0, 0, 0])
-        return (w, acc ^ out[0, 0, 0, 1])
-
-    return jax.lax.fori_loop(0, iters, body, (x, jnp.uint32(0)))
+_probe_step = _make_probe_step(_probe_kernel)
+_rot_probe_step = _make_probe_step(_rot_probe_kernel)
 
 
-def alu_issue_probe(tiles: int = 256, iters: int = 20) -> dict[str, float]:
-    """Measured uint32 vector-op issue rate, in lane-ops/s (one lane-op =
-    one uint32 ALU operation on one of the 1024 lanes of a vreg).
-
-    Uses the same dependent-loop timing discipline as bench.py (the remote
-    tunnel's readback RTT would otherwise dominate).  Returns the rate and
-    the raw per-pass time.
-    """
+def _timed_probe(step, seed: int, tiles: int, iters: int) -> float:
+    """Seconds per probe pass: dependent-loop timing with RTT subtraction
+    and the retry-until-distinguishable discipline shared with bench.py
+    (the remote tunnel's readback RTT would otherwise dominate)."""
     import time
 
-    key = jax.random.PRNGKey(7)
+    key = jax.random.PRNGKey(seed)
     x = jax.random.randint(
         key, (tiles, 16, TILE_SUB, TILE_LANE), 0, 1 << 30, dtype=jnp.int32
     ).astype(jnp.uint32)
-
-    out = _probe_step(x, 1)
-    _ = np.asarray(out[1])
+    _ = np.asarray(step(x, 1)[1])  # compile + warm
     best = None
     for _attempt in range(4):
         rtts, times = [], []
         for _ in range(3):
             t0 = time.perf_counter()
-            _ = np.asarray(_probe_step(x, 0)[1])
+            _ = np.asarray(step(x, 0)[1])
             rtts.append(time.perf_counter() - t0)
         for _ in range(3):
             t0 = time.perf_counter()
-            _ = np.asarray(_probe_step(x, iters)[1])
+            _ = np.asarray(step(x, iters)[1])
             times.append(time.perf_counter() - t0)
         dt = float(np.median(times) - np.median(rtts))
         if best is None or dt > best:
             best = dt
         if dt > 0.15 * float(np.median(times)):
             break
-    sec = max(best, 1e-9) / iters
+    return max(best, 1e-9) / iters
+
+
+def alu_issue_probe(tiles: int = 256, iters: int = 20) -> dict[str, float]:
+    """Measured uint32 vector-op issue rate, in lane-ops/s (one lane-op =
+    one uint32 ALU operation on one of the 1024 lanes of a vreg)."""
+    sec = _timed_probe(_probe_step, 7, tiles, iters)
     lane_ops = tiles * _PROBE_PASSES * _PROBE_ROUNDS * TILE_SUB * TILE_LANE
     return {
         "lane_ops_per_sec": lane_ops / sec,
@@ -282,32 +267,7 @@ def rot_issue_probe(tiles: int = 256, iters: int = 20) -> dict[str, float]:
     of the rotate idiom cost one hw op each (no fusion) and the plain probe
     IS the ceiling for SHA; if materially higher, Mosaic fuses rotates and
     the model's fraction-of-ceiling overestimates by up to that ratio."""
-    import time
-
-    key = jax.random.PRNGKey(9)
-    x = jax.random.randint(
-        key, (tiles, 16, TILE_SUB, TILE_LANE), 0, 1 << 30, dtype=jnp.int32
-    ).astype(jnp.uint32)
-
-    out = _rot_probe_step(x, 1)
-    _ = np.asarray(out[1])
-    best = None
-    for _attempt in range(4):
-        rtts, times = [], []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            _ = np.asarray(_rot_probe_step(x, 0)[1])
-            rtts.append(time.perf_counter() - t0)
-        for _ in range(3):
-            t0 = time.perf_counter()
-            _ = np.asarray(_rot_probe_step(x, iters)[1])
-            times.append(time.perf_counter() - t0)
-        dt = float(np.median(times) - np.median(rtts))
-        if best is None or dt > best:
-            best = dt
-        if dt > 0.15 * float(np.median(times)):
-            break
-    sec = max(best, 1e-9) / iters
+    sec = _timed_probe(_rot_probe_step, 9, tiles, iters)
     # 4 jaxpr ops per round, _PROBE_ROUNDS//4 rounds -> _PROBE_ROUNDS ops.
     lane_ops = tiles * _PROBE_PASSES * _PROBE_ROUNDS * TILE_SUB * TILE_LANE
     return {"jaxpr_lane_ops_per_sec": lane_ops / sec, "sec_per_pass": sec}

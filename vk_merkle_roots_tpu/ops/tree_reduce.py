@@ -44,7 +44,6 @@ larger jit for the fused fixed-shape step.
 
 from __future__ import annotations
 
-import os
 from functools import partial
 
 import jax
@@ -55,7 +54,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .. import oracle
 from ..constants import TILE, TILE_LANE, TILE_SUB
-from ..utils.bitmath import bit_reverse_indices, ceil_log2
+from ..utils.bitmath import bit_reverse_indices, ceil_log2, pow2_env
 from ..utils.hexutil import words_to_digest
 from . import sha256_core
 
@@ -74,8 +73,9 @@ def _use_interpret() -> bool:
 # vs 16.0 at B=16, 11.5 at B=32 — VMEM pressure).  The kernel body is ONE
 # node_hash traced on (b, 8, 128) operands, so larger B means larger
 # vector shapes, not more Mosaic code.  Override with VKMR_FOLD_TILES to
-# re-measure (docs/PERF.md §4); read at import.
-FOLD_BLOCK_TILES = int(os.environ.get("VKMR_FOLD_TILES", "8"))
+# re-measure (docs/PERF.md §4); read at import, power-of-two enforced (the
+# grid math relies on the knob dividing every pow-2 tile count).
+FOLD_BLOCK_TILES = pow2_env("VKMR_FOLD_TILES", 8)
 
 
 def _fold_kernel(l_ref, r_ref, o_ref):

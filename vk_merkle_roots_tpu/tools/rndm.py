@@ -71,6 +71,10 @@ class GlibcRand:
 
 def generate_glibc(seed: int, count: int, maxlen: int, out) -> int:
     """Write the reference-compatible stream; returns total payload bytes."""
+    if maxlen < 2:
+        # Lengths are 1 + rand() % (maxlen - 1); the reference hits C
+        # undefined behavior (x % 0) here — we refuse cleanly instead.
+        raise ValueError("maxlen must be >= 2")
     try:
         from ..native.lib import native_rndm_stream
 
@@ -137,6 +141,13 @@ def main(argv=None) -> int:
         return 1
     count = args.count
     maxlen = args.maxlen if args.maxlen is not None else min(16384, count)
+    if maxlen < 2:
+        print(
+            f"rndm: max string length must be >= 2 (got {maxlen}; string "
+            "lengths are 1 + rand() % (maxlen - 1))",
+            file=sys.stderr,
+        )
+        return 1
 
     out = sys.stdout.buffer
     if args.algo == "glibc":

@@ -18,6 +18,19 @@ def is_pow2(n: int) -> bool:
     return n > 0 and (n & (n - 1)) == 0
 
 
+def pow2_env(name: str, default: int) -> int:
+    """Read a power-of-two tuning knob from the environment.  The kernel
+    grid math relies on these knobs dividing every power-of-two tile
+    count; a stray value would silently leave tiles unwritten and corrupt
+    digests, so anything non-pow2 is rejected loudly."""
+    import os
+
+    v = int(os.environ.get(name, default))
+    if not is_pow2(v):
+        raise ValueError(f"{name}={v} must be a power of two >= 1")
+    return v
+
+
 def largest_pow2_le(n: int) -> int:
     if n < 1:
         raise ValueError("need n >= 1")
