@@ -15,13 +15,11 @@ from tests.test_cli import _run_cli
 
 
 def _cfg(tmp_path, **kw):
-    return EngineConfig(
-        slice_log2=6,
-        batch_leaves=40,
-        backend="xla",
-        journal_path=str(tmp_path / "journal.jsonl"),
-        **kw,
-    )
+    kw.setdefault("slice_log2", 6)
+    kw.setdefault("batch_leaves", 40)
+    kw.setdefault("backend", "xla")
+    kw.setdefault("journal_path", str(tmp_path / "journal.jsonl"))
+    return EngineConfig(**kw)
 
 
 def test_journal_written_and_resume_matches(rng, tmp_path):

@@ -111,6 +111,19 @@ def _ptr(arr, ctype):
     return arr.ctypes.data_as(ctypes.POINTER(ctype))
 
 
+def _aligned_zeros(shape, dtype, align=64):
+    """Zeroed ndarray whose data pointer is ``align``-byte aligned.  numpy
+    only guarantees 16-byte alignment, which would silently disable the
+    packer's non-temporal store fast path (vkmr_host_util.cpp requires
+    32-byte alignment for vmovntdq); over-allocate and slice so the NT
+    path is deterministic (ADVICE r3)."""
+    dtype = np.dtype(dtype)
+    count = int(np.prod(shape))
+    buf = np.zeros(count * dtype.itemsize + align, np.uint8)
+    off = (-buf.ctypes.data) % align
+    return buf[off : off + count * dtype.itemsize].view(dtype).reshape(shape)
+
+
 def native_leaf_hashes_spans(data: np.ndarray, offsets: np.ndarray, lengths: np.ndarray):
     """(n,) spans -> (n, 32) uint8 digests, or None when unavailable."""
     lib = _load()
@@ -177,7 +190,7 @@ def native_pack_bucket_tiles(
     offsets = np.ascontiguousarray(offsets, np.int64)
     lengths = np.ascontiguousarray(lengths, np.int64)
     n = int(lengths.size)
-    out = np.zeros((tiles, nblocks * 16, 8, 128), np.uint32)
+    out = _aligned_zeros((tiles, nblocks * 16, 8, 128), np.uint32)
     lib.vkmr_pack_bucket_tiles(
         _ptr(data, ctypes.c_uint8),
         _ptr(offsets, ctypes.c_int64),
@@ -202,7 +215,7 @@ def native_pack_stream_bucket_tiles(
     offsets = np.ascontiguousarray(offsets, np.int64)
     lengths = np.ascontiguousarray(lengths, np.int64)
     n = int(lengths.size)
-    out = np.zeros((tiles, cap_blocks * 16, 8, 128), np.uint32)
+    out = _aligned_zeros((tiles, cap_blocks * 16, 8, 128), np.uint32)
     lib.vkmr_pack_stream_bucket_tiles(
         _ptr(data, ctypes.c_uint8),
         _ptr(offsets, ctypes.c_int64),

@@ -25,7 +25,11 @@ def pow2_env(name: str, default: int) -> int:
     digests, so anything non-pow2 is rejected loudly."""
     import os
 
-    v = int(os.environ.get(name, default))
+    raw = os.environ.get(name, default)
+    try:
+        v = int(raw)
+    except (TypeError, ValueError):
+        raise ValueError(f"{name}={raw!r} must be an integer power of two >= 1")
     if not is_pow2(v):
         raise ValueError(f"{name}={v} must be a power of two >= 1")
     return v
