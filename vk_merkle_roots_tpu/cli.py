@@ -196,6 +196,13 @@ def main(argv=None) -> int:
         from .utils.log import enable_verbose
 
         enable_verbose()
+    else:
+        # Per-op completion events (map_op / slice_reduced) at INFO, like
+        # the reference's unconditional per-op prints (Mappings.cpp:336-342,
+        # Reductions.cpp:644-656).
+        from .utils.log import enable_default
+
+        enable_default()
     config = EngineConfig()
     if args.auto_slice:
         from .config import auto_slice_log2
@@ -244,10 +251,34 @@ def main(argv=None) -> int:
         print("--sharded requires the MESH engine (got "
               f"{name!r}); run: vkmr MESH --sharded", file=sys.stderr)
         return 1
+    if name != "CPU" and args.slice_log2 is None and not args.auto_slice:
+        # Default device engines to budget-derived slice sizing (the
+        # reference sizes slices from device limits with a 256 MB preferred
+        # cap, Slices.h:421-454; cap=23 is that 256 MB of digests).  Safe
+        # because slice decomposition is root-invariant (phantom rule), and
+        # journal resume still adopts the journal's own slice height.
+        from .config import auto_slice_log2
+
+        config.slice_log2 = auto_slice_log2(cap=23)
 
     # Startup inventory, like the reference's device dump at construction
-    # (SHA-256vk.cpp:110-155).
+    # (SHA-256vk.cpp:110-155: names, heap sizes, queue families -> here:
+    # device kinds, platform, memory budget).
     print(f"Engines: {', '.join(available)}", file=sys.stderr)
+    if name != "CPU":
+        try:
+            import jax
+
+            for d in jax.devices():
+                stats = d.memory_stats() or {}
+                limit = stats.get("bytes_limit")
+                mem = f", {limit / 2**30:.1f} GiB device memory" if limit else ""
+                print(
+                    f"* {d.device_kind} (platform {d.platform}, id {d.id}{mem})",
+                    file=sys.stderr,
+                )
+        except Exception:
+            pass
     print(f"Initializing for: {name}")
     if name != "CPU":
         enable_persistent_cache()

@@ -72,18 +72,31 @@ class MeshSha256D(TpuSha256D):
         if self.config.sharded_reduce:
             # DP over the slice: 32 B/leaf scatters once over ICI, each chip
             # reduces its aligned perfect subtree, roots merge replicated.
+            # The shard_map reducer assumes natural-order columns; a
+            # group-bitrev slice is normalized first (one per-group gather —
+            # cheaper than the full factored bitrev it replaced, and only on
+            # this opt-in path).
             from ..parallel.mesh import shard_digests
 
+            if self._slice_grouped:
+                from ..ops.tree_reduce import group_bitrev_to_natural
+
+                digests = group_bitrev_to_natural(
+                    digests, self.config.slice_log2, self._group_log2
+                )
             mesh, fn = self._sharded_reduce()
             return fn(shard_digests(mesh, digests))
 
-        from ..ops.tree_reduce import reduce_perfect_block
+        from ..ops.tree_reduce import reduce_grouped_block, reduce_perfect_block
 
         dev = self._devices[self._slice_rr % len(self._devices)]
         self._slice_rr += 1
-        return reduce_perfect_block(
-            jax.device_put(digests, dev), self.config.slice_log2, self.config.backend
-        )
+        digests = jax.device_put(digests, dev)
+        if self._slice_grouped:
+            return reduce_grouped_block(
+                digests, self.config.slice_log2, self._group_log2, self.config.backend
+            )
+        return reduce_perfect_block(digests, self.config.slice_log2, self.config.backend)
 
     def Reset(self) -> bool:
         self._batch_rr = 0

@@ -34,9 +34,12 @@ Slice mechanics (Slices.h:31-251 equivalents):
 
 from __future__ import annotations
 
+import logging
 from functools import lru_cache, partial
 
 import numpy as np
+
+_INFO = logging.INFO
 
 from .. import oracle
 from ..config import EngineConfig
@@ -72,6 +75,19 @@ def _append_fn():
         return jax.lax.dynamic_update_slice(buf, chunk, (0, offset))
 
     return append
+
+
+@lru_cache(maxsize=None)
+def _scatter_fn():
+    import jax
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def scatter(buf, chunk, idx):
+        # buf (8, cap+slack); chunk (8, m) digest columns; idx (m,) int32
+        # destination columns (quantization-padding columns point at slack).
+        return buf.at[:, idx].set(chunk)
+
+    return scatter
 
 
 class _PendingLeaves:
@@ -144,6 +160,14 @@ class TpuSha256D(Sha256dEngine):
         super().__init__(name or self._device.device_kind)
         self._jnp = jax.numpy
         self._cap = 1 << self.config.slice_log2
+        # Group-bitrev storage (ops/tree_reduce.reduce_grouped_body): when
+        # the flush granularity is a power of two, each flushed batch is
+        # packed with its leaves in bit-reversed order — a free host-side
+        # index permutation — so slice reduction needs NO device permutation
+        # at all (the factored bitrev gather+transpose was ~20% of the
+        # full-dataflow reduction, VERDICT r3 #4).  Non-pow2 batch sizes
+        # keep the natural layout + factored-bitrev path.
+        self._refresh_grouping()
         # Degradable flush size: halved on device OOM (the accept-smaller
         # allocation walk, Batches.cpp:352-385 analog) down to a floor.
         self._batch_cap = self.config.batch_leaves
@@ -160,8 +184,44 @@ class TpuSha256D(Sha256dEngine):
         self._tail_done = False  # trailing ragged slice folded into _roots
         self._map_ops = 0
         self._reduce_ops = 0
+        self._sync_rtt_ms: float | None = None
         self._init_stream_digest()
         self.times = StageTimes()
+
+    def _measure_sync_rtt(self) -> float:
+        """Median round-trip of the tiny-readback sync primitive.  Remote
+        device plugins (the development tunnel) pay tens of ms per readback;
+        device-time samples subtract this baseline so ``--stats`` reports
+        device execution time, not transport latency (the reference's query
+        pool timers are on-device and never see the bus,
+        QueryPoolTimers.cpp:72-93).  On local hardware this is ~0."""
+        if self._sync_rtt_ms is None:
+            samples = []
+            for _ in range(3):
+                sw = StopWatch()
+                np.asarray(self._buf[0, :1])
+                samples.append(sw.Elapsed())
+            samples.sort()
+            self._sync_rtt_ms = samples[1]
+            self.times.add("sync_rtt", self._sync_rtt_ms)
+        return self._sync_rtt_ms
+
+    def _refresh_grouping(self) -> None:
+        """(Re)derive the group-bitrev parameters from the current config
+        (also after a slice-size degrade)."""
+        from ..utils.bitmath import bit_reverse_indices, is_pow2
+
+        if is_pow2(self.config.batch_leaves):
+            self._group_log2 = min(
+                self.config.slice_log2, self.config.batch_leaves.bit_length() - 1
+            )
+            self._rev_group = bit_reverse_indices(self._group_log2)
+        else:
+            self._group_log2 = None
+            self._rev_group = None
+        # Layout of the CURRENT slice: None until its first append, then
+        # True (group-bitrev) or False (natural) for the slice's lifetime.
+        self._slice_grouped: bool | None = None
 
     # -- journal / resume --------------------------------------------------
 
@@ -343,15 +403,50 @@ class TpuSha256D(Sha256dEngine):
 
     # -- device pipeline ---------------------------------------------------
 
+    _SLICE_FLOOR_LOG2 = 10
+
     def _ensure_buf(self):
-        if self._buf is None:
+        if self._buf is not None:
+            return
+        import dataclasses
+
+        jax = _jax()
+        while True:
             # Word-major (8, cap+slack): digest word j of slice position p at
             # [j, p] — the layout leaf_hashes emits and tree_reduce consumes,
             # so appends and reductions never transpose on device.
-            self._buf = _jax().device_put(
-                self._jnp.zeros((8, self._cap + (1 << _SLACK_LOG2)), self._jnp.uint32),
-                self._device,
-            )
+            try:
+                self._buf = jax.device_put(
+                    self._jnp.zeros((8, self._cap + (1 << _SLACK_LOG2)), self._jnp.uint32),
+                    self._device,
+                )
+                # Allocation is async; settle it now so an OOM surfaces here
+                # (where the walk can degrade) and not inside a later append.
+                np.asarray(self._buf[0, :1])
+                return
+            except Exception as exc:
+                if not _is_oom(exc):
+                    raise
+                self._buf = None
+                # Accept-smaller slice walk, the reference's budget-ordered
+                # allocation retry (Slices.h:316-384, Batches.cpp:352-385):
+                # halve the slice until the device accepts it.  Only legal
+                # before any tree shape is committed — a completed or
+                # journal-adopted slice pins the slice height (the root
+                # depends on it).
+                if (
+                    self._roots
+                    or self._fill
+                    or self._preloaded
+                    or self.config.slice_log2 <= self._SLICE_FLOOR_LOG2
+                ):
+                    raise
+                self.config = dataclasses.replace(
+                    self.config, slice_log2=self.config.slice_log2 - 1
+                )
+                self._cap = 1 << self.config.slice_log2
+                self._refresh_grouping()
+                event("slice_oom_degrade", slice_log2=self.config.slice_log2)
 
     def _hash_packed(self, packed):
         """Leaf-hash one packed batch (hook for multi-device engines)."""
@@ -361,15 +456,100 @@ class TpuSha256D(Sha256dEngine):
 
     def _reduce_full_slice(self, digests):
         """Reduce one full slice to its root (hook for multi-device
-        engines); returns an async device (8,) array."""
-        from ..ops.tree_reduce import reduce_perfect_block
+        engines); returns an async device (8,) array.  Dispatches on the
+        slice's storage layout: group-bitrev slices reduce with NO device
+        permutation; natural slices go through the factored bitrev."""
+        from ..ops.tree_reduce import reduce_grouped_block, reduce_perfect_block
 
+        if self._slice_grouped:
+            return reduce_grouped_block(
+                digests, self.config.slice_log2, self._group_log2, self.config.backend
+            )
         return reduce_perfect_block(digests, self.config.slice_log2, self.config.backend)
+
+    def _natural_cols(self, count: int):
+        """Device view of the first ``count`` slice digests as NATURAL-order
+        word-major columns, regardless of storage layout (used once per
+        stream to normalize a ragged final slice for the binary-
+        decomposition path)."""
+        jnp = self._jnp
+        if not self._slice_grouped:
+            return self._buf[:, :count]
+        k = self._group_log2
+        g = 1 << k
+        q, r = divmod(count, g)
+        rev = jnp.asarray(self._rev_group)
+        parts = []
+        if q:
+            y = self._buf[:, : q * g].reshape(8, q, g)
+            parts.append(jnp.take(y, rev, axis=2).reshape(8, q * g))
+        if r:
+            parts.append(jnp.take(self._buf[:, q * g : (q + 1) * g], rev[:r], axis=1))
+        return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
+
+    def _host_natural_digests(self, count: int) -> np.ndarray:
+        """(count, 8) uint32 digest rows in natural leaf order on the host
+        (keep_digests snapshots for proofs), un-permuting group-bitrev
+        storage with a NumPy gather."""
+        if not self._slice_grouped:
+            return np.ascontiguousarray(np.asarray(self._buf[:, :count]).T)
+        k = self._group_log2
+        g = 1 << k
+        span = min(-(-count // g) * g, self._cap)
+        arr = np.asarray(self._buf[:, :span]).T
+        i = np.arange(count, dtype=np.int64)
+        perm = ((i >> k) << k) + self._rev_group[i & (g - 1)]
+        return np.ascontiguousarray(arr[perm])
+
+    def _merge_chunks(self, chunks):
+        """Merge popped (data, offsets, lengths) chunks into one span set so
+        a whole flush group can be packed (and bit-reversal-permuted) as a
+        single ``pack_spans`` call.  Single-chunk groups are zero-copy; a
+        multi-chunk group copies only the covered byte ranges."""
+        if len(chunks) == 1:
+            return chunks[0]
+        datas, offs_parts, lens_parts = [], [], []
+        base = 0
+        for data, offs, lens in chunks:
+            lo = int(offs.min())
+            hi = int((offs + lens).max())
+            datas.append(data[lo:hi])
+            offs_parts.append(offs - lo + base)
+            lens_parts.append(lens)
+            base += hi - lo
+        return (
+            np.concatenate(datas),
+            np.concatenate(offs_parts),
+            np.concatenate(lens_parts),
+        )
+
+    def _append_grouped_partial(self, append, digs, count: int) -> None:
+        """Scatter a natural-order digest chunk into the group-bitrev layout
+        (partial flushes into a grouped slice: final drain, byte-triggered
+        flushes, OOM-degraded batch caps).  Quantization-padding columns are
+        pointed at the slack region so index shapes stay quantized."""
+        k = self._group_log2
+        pos = np.arange(self._fill, self._fill + count, dtype=np.int64)
+        dest = ((pos >> k) << k) + self._rev_group[pos & ((1 << k) - 1)]
+        pad = digs.shape[1] - count
+        if pad:
+            dest = np.concatenate(
+                [dest, self._cap + np.arange(pad, dtype=np.int64)]
+            )
+        self._buf = _scatter_fn()(self._buf, digs, self._jnp.asarray(dest, self._jnp.int32))
+        self._fill += count
 
     def _flush_some(self) -> bool:
         """Move up to one slice-limited batch of pending leaves to the
         device: pack -> hash -> append to the current slice; reduce the
         slice when it fills.
+
+        When the flush is exactly one full, aligned group (the steady-state
+        case), the merged spans are packed in bit-reversed order so the
+        slice lands in group-bitrev storage and reduction needs no device
+        permutation (reduce_grouped_body).  Partial flushes into a grouped
+        slice scatter through the same layout; slices whose FIRST append is
+        partial stay natural-layout (factored-bitrev reduction).
 
         Returns False only when the device is out of memory at the minimum
         batch size (callers fail soft, Vkmr.cpp:44-47 style).  On OOM above
@@ -386,41 +566,89 @@ class TpuSha256D(Sha256dEngine):
         append = _append_fn()
         every = self.config.stats_sample_every
         done = 0
+        group = (1 << self._group_log2) if self._group_log2 is not None else 0
+        group_flush = (
+            group > 0
+            and take == group
+            and self._fill % group == 0
+            and self._slice_grouped is not False
+        )
+        if self._fill == 0:
+            self._slice_grouped = group_flush
         # True per-op device time (the QueryPoolTimers.cpp:52-93 role):
-        # every Nth flush, drain the async queue, then bracket this WHOLE
-        # flush's device work to completion.  A tiny readback is the sync
-        # primitive — reliable even where block_until_ready is not
-        # (remote-device plugins).  Bracketing the flush rather than one
-        # chunk amortizes the sync round-trip over up to batch_cap leaves
-        # (through a remote tunnel the RTT would otherwise floor any
-        # single-chunk sample).
+        # every Nth flush, pre-pack on the host, drain the async queue, then
+        # bracket ONLY the flush's device work (dispatch -> completion) with
+        # tiny-readback syncs.  Round 3 started the bracket before packing,
+        # so short-leaf "map_device" read pack-bound, ~100x under the true
+        # device rate (VERDICT r3 #3).  Bracketing the whole flush amortizes
+        # the sync round-trip over up to batch_cap leaves.
         self._map_ops += 1
         sample = every and self._map_ops % every == 0
-        if sample:
-            np.asarray(self._buf[0, :1])
-            sw_dev = StopWatch()
-            sampled_bytes = 0
         try:
-            for data, offs, lens in chunks:
-                packed = pack_spans(data, offs, lens, self.config.device_max_blocks)
-                t_pack = sw.Elapsed()
-                self.times.add("pack", t_pack, int(lens.sum()), throughput=True)
-                sw.Start()
+            if group_flush:
+                data, offs, lens = self._merge_chunks(chunks)
+                perm = self._rev_group
+                packed = pack_spans(
+                    data, offs[perm], lens[perm], self.config.device_max_blocks
+                )
+                work = [(packed, int(lens.sum()))]
+            else:
+                work = []
+                for data, offs, lens in chunks:
+                    work.append(
+                        (
+                            pack_spans(data, offs, lens, self.config.device_max_blocks),
+                            int(lens.sum()),
+                        )
+                    )
+            t_pack = sw.Elapsed()
+            self.times.add("pack", t_pack, sum(b for _, b in work), throughput=True)
+            sw.Start()
+            if sample:
+                rtt = self._measure_sync_rtt()
+                np.asarray(self._buf[0, :1])
+                sw_dev = StopWatch()
+                sampled_bytes = 0
+            for packed, nbytes in work:
                 digs = self._hash_packed(packed)
-                self._buf = append(self._buf, digs, np.int32(self._fill))
-                self._fill += packed.count
+                if self._slice_grouped and not group_flush:
+                    self._append_grouped_partial(append, digs, packed.count)
+                else:
+                    self._buf = append(self._buf, digs, np.int32(self._fill))
+                    self._fill += packed.count
                 done += 1
                 if sample:
-                    sampled_bytes += int(lens.sum())
-                self.times.add("map_dispatch", sw.Elapsed(), int(lens.sum()))
+                    sampled_bytes += nbytes
+                self.times.add("map_dispatch", sw.Elapsed(), nbytes)
                 sw.Start()
             if sample and done:
                 np.asarray(self._buf[0, :1])
-                self.times.add("map_device", sw_dev.Elapsed(), sampled_bytes, throughput=True)
+                # Subtract the transport RTT of the closing sync so the
+                # recorded interval is device execution, not the bus.
+                self.times.add(
+                    "map_device",
+                    max(sw_dev.Elapsed() - rtt, 1e-3),
+                    sampled_bytes,
+                    throughput=True,
+                )
+            # Per-op completion record, INFO by default like the reference's
+            # unconditional per-mapping print (Mappings.cpp:336-342).
+            event(
+                "map_op",
+                _level=_INFO,
+                leaves=take,
+                bytes=sum(b for _, b in work),
+                pack_ms=round(t_pack, 3),
+                grouped=group_flush,
+            )
         except Exception as exc:
             if not _is_oom(exc):
                 raise
-            self._pending.push_front(chunks[done:])
+            # A grouped flush is one merged work unit covering ALL chunks.
+            consumed = len(chunks) if (group_flush and done) else done
+            self._pending.push_front(chunks[consumed:])
+            if self._fill == 0:
+                self._slice_grouped = None  # first append failed: undecided
             # The appends donate the slice buffer and errors surface
             # asynchronously, so an OOM raised here may belong to an
             # *earlier* chunk's computation — in which case the buffer
@@ -445,23 +673,37 @@ class TpuSha256D(Sha256dEngine):
         if self._fill == self._cap:
             sw.Start()
             if self.config.keep_digests:
-                self._slice_digests.append(
-                    np.ascontiguousarray(np.asarray(self._buf[:, : self._cap]).T)
-                )
+                self._slice_digests.append(self._host_natural_digests(self._cap))
             self._reduce_ops += 1
             # Slices are ~batch_count x rarer than maps: denser cadence.
             sample = every and self._reduce_ops % max(1, every // 8) == 0
             if sample:
+                rtt = self._measure_sync_rtt()
                 np.asarray(self._buf[0, :1])
                 sw_dev = StopWatch()
             root = self._reduce_full_slice(self._buf[:, : self._cap])
             if sample:
                 np.asarray(root)
-                self.times.add("reduce_device", sw_dev.Elapsed(), self._cap * 32, throughput=True)
+                self.times.add(
+                    "reduce_device",
+                    max(sw_dev.Elapsed() - rtt, 1e-3),
+                    self._cap * 32,
+                    throughput=True,
+                )
             self._roots.append(root)
             self._full_slices += 1
-            event("slice_reduced", slice=len(self._roots), leaves=self._cap)
+            # Per-op completion record, INFO by default like the reference's
+            # unconditional per-reduction print (Reductions.cpp:644-656).
+            event(
+                "slice_reduced",
+                _level=_INFO,
+                slice=len(self._roots),
+                leaves=self._cap,
+                bytes=self._cap * 32,
+                grouped=bool(self._slice_grouped),
+            )
             self._fill = 0
+            self._slice_grouped = None  # next slice picks its own layout
             self.times.add("reduce_dispatch", sw.Elapsed(), self._cap * 32)
             # Backpressure: bound in-flight roots (block-and-reuse, the
             # reference's README.md:110-116 TODO).
@@ -486,15 +728,13 @@ class TpuSha256D(Sha256dEngine):
                 )
         sw = StopWatch()
         if self._fill > 0 and self.config.keep_digests and not self._tail_done:
-            self._slice_digests.append(
-                np.ascontiguousarray(np.asarray(self._buf[:, : self._fill]).T)
-            )
+            self._slice_digests.append(self._host_natural_digests(self._fill))
         if self._fill > 0:
             if not self._roots:
                 # Single (possibly ragged) slice: plain Merkle root.
                 self._tail_done = True
                 root = merkle_root_of_digest_cols(
-                    self._buf[:, : self._fill], self._fill, self.config.backend
+                    self._natural_cols(self._fill), self._fill, self.config.backend
                 )
                 self.times.add("finalize", sw.Elapsed())
                 return root.hex()
@@ -502,7 +742,7 @@ class TpuSha256D(Sha256dEngine):
                 # Ragged trailing slice: phantom full height (README.md:94).
                 self._roots.append(
                     slice_root(
-                        self._buf[:, : self._fill],
+                        self._natural_cols(self._fill),
                         self._fill,
                         self.config.slice_log2,
                         self.config.backend,
@@ -557,6 +797,7 @@ class TpuSha256D(Sha256dEngine):
     def Reset(self) -> bool:
         self._buf = None
         self._fill = 0
+        self._slice_grouped = None
         self._roots = []
         self._pending = _PendingLeaves()
         self._count = 0

@@ -89,25 +89,38 @@ def _fold_kernel(l_ref, r_ref, o_ref):
         o_ref[j] = out[j]
 
 
-def _fold_level_pallas(x, interpret: bool):
-    """(8, T, 8, 128) -> (8, T/2, 8, 128); requires T even."""
+def _fold_level_pallas(x, interpret: bool, groups: int = 1):
+    """(8, T, 8, 128) -> (8, T/2, 8, 128).
+
+    With ``groups`` == 1 this is one whole-array tree level over bit-reversed
+    storage (pair tile i with tile i + T/2).  With ``groups`` == G the array
+    is G contiguous, independent bit-reversed subtrees of T/G tiles each
+    (the *group-bitrev* layout the engine stores when each flushed batch is
+    packed in bit-reversed order): every group folds its own halves, and the
+    output keeps groups contiguous.  Requires T/G >= 2; all quantities are
+    powers of two."""
     t_out = x.shape[1] // 2
-    b = min(FOLD_BLOCK_TILES, t_out)  # both are powers of two, so b | t_out
+    tpg_out = t_out // groups  # output tiles per group
+    b = min(FOLD_BLOCK_TILES, tpg_out)  # powers of two, so b | tpg_out
     return pl.pallas_call(
         _fold_kernel,
-        grid=(t_out // b,),
+        grid=(groups, tpg_out // b),
         in_specs=[
             pl.BlockSpec(
-                (8, b, TILE_SUB, TILE_LANE), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM
+                (8, b, TILE_SUB, TILE_LANE),
+                lambda g, i, s=2 * tpg_out // b: (0, g * s + i, 0, 0),
+                memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
                 (8, b, TILE_SUB, TILE_LANE),
-                lambda i, o=t_out // b: (0, i + o, 0, 0),
+                lambda g, i, s=2 * tpg_out // b, o=tpg_out // b: (0, g * s + o + i, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (8, b, TILE_SUB, TILE_LANE), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM
+            (8, b, TILE_SUB, TILE_LANE),
+            lambda g, i, s=tpg_out // b: (0, g * s + i, 0, 0),
+            memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((8, t_out, TILE_SUB, TILE_LANE), jnp.uint32),
         interpret=interpret,
@@ -183,6 +196,62 @@ def _tail_reduce_xla(x):
     return x[:, 0]
 
 
+def _tail_kernel_grouped(x_ref, o_ref):
+    """Per-group fused tail: one grid step folds one group's last tile
+    (1024 bitrev-ordered digests) to its subtree root — the grid-parallel
+    form of :func:`_tail_kernel` used by the group-bitrev layout.  Blocks:
+    x (8, 1, 8, 128); o (8, 1, 8, 128) with the root broadcast (Mosaic
+    requires full (8, 128)-tile minor block dims)."""
+    rows, cols = TILE_SUB, TILE_LANE
+    words = [x_ref[j, 0] for j in range(8)]
+    for _ in range(10):
+        if rows > 1:
+            left = tuple(w[: rows // 2, :] for w in words)
+            right = tuple(w[rows // 2 :, :] for w in words)
+            rows //= 2
+        else:
+            left = tuple(w[:, : cols // 2] for w in words)
+            right = tuple(w[:, cols // 2 :] for w in words)
+            cols //= 2
+        words = list(sha256_core.node_hash_words(left, right))
+    for j in range(8):
+        # Lanes-only broadcast (Mosaic has no both-dims scalar broadcast);
+        # the out block's sublane dim is 1, matching the array dim exactly.
+        o_ref[j] = jnp.broadcast_to(words[j][:1, :1], (1, TILE_LANE)).reshape(
+            1, 1, TILE_LANE
+        )
+
+
+@partial(jax.jit, static_argnums=(1,))
+def _tail_reduce_grouped_pallas(tiles, interpret: bool):
+    """(8, G, 8, 128) — G group tiles, each 1024 bitrev digests -> (8, G)
+    group subtree roots, one fused launch with a grid step per group."""
+    g = tiles.shape[1]
+    out = pl.pallas_call(
+        _tail_kernel_grouped,
+        grid=(g,),
+        in_specs=[
+            pl.BlockSpec(
+                (8, 1, TILE_SUB, TILE_LANE), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM
+            )
+        ],
+        out_specs=pl.BlockSpec(
+            (8, 1, 1, TILE_LANE), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((8, g, 1, TILE_LANE), jnp.uint32),
+        interpret=interpret,
+    )(tiles)
+    return out[:, :, 0, 0]
+
+
+def _fold_minor_xla(y):
+    """(8, G, m) -> (8, G, m/2): fold each group's minor-axis halves."""
+    half = y.shape[2] // 2
+    left = tuple(y[j, :, :half] for j in range(8))
+    right = tuple(y[j, :, half:] for j in range(8))
+    return jnp.stack(sha256_core.node_hash_words(left, right, unroll=False), axis=0)
+
+
 def _fuse_tail() -> bool:
     """Fused Pallas tail unless disabled (``VKMR_TAIL=levels``)."""
     import os
@@ -215,6 +284,78 @@ def reduce_words_body(x, log2n: int, use_pallas: bool, interpret: bool):
     while x.shape[1] > 1:
         x = _fold_level_xla(x)  # rolled: the tail is runtime noise, compile time is not
     return x[:, 0]
+
+
+def reduce_grouped_body(x, log2n: int, group_log2: int, use_pallas: bool, interpret: bool):
+    """Traceable: (8, 2^log2n) word-major digest columns in the GROUP-BITREV
+    layout -> (8,) root words, with **no permutation anywhere**.
+
+    Group-bitrev layout: the array is 2^(log2n-group_log2) contiguous groups
+    of 2^group_log2 digests; groups sit in natural (arrival) order, and each
+    group's digests are stored at the bit-reversal of their in-group leaf
+    index.  The engine gets this layout for free by packing each flushed
+    batch's leaves in bit-reversed order (a host-side index permutation at
+    pack time), which removes the factored bit-reversal gather+transpose —
+    previously ~20% of the full-dataflow reduction — from the device
+    entirely.  (The reference needs no permutation because its shader
+    indexes strided pairs per invocation, SHA-256.comp:395; strided minor-
+    axis access is exactly what the VPU is bad at, hence this layout.)
+
+    Tree levels 0..group_log2-1 fold within groups (elementwise halves per
+    group); the remaining levels pair adjacent groups, handled by a tiny
+    bitrev gather over the 2^(log2n-group_log2) group roots.
+    """
+    n = 1 << log2n
+    if group_log2 >= log2n:
+        return reduce_words_body(x, log2n, use_pallas, interpret)
+    groups = 1 << (log2n - group_log2)
+    if use_pallas and (1 << group_log2) >= TILE:
+        tiles = x.reshape(8, n // TILE, TILE_SUB, TILE_LANE)
+        while tiles.shape[1] > groups:
+            tiles = _fold_level_pallas(tiles, interpret, groups=groups)
+        if not interpret and _fuse_tail():
+            roots = _tail_reduce_grouped_pallas(tiles, interpret)
+        else:
+            y = tiles.reshape(8, groups, TILE)
+            while y.shape[2] > 1:
+                y = _fold_minor_xla(y)
+            roots = y[:, :, 0]
+    else:
+        y = x.reshape(8, groups, 1 << group_log2)
+        while y.shape[2] > 1:
+            y = _fold_minor_xla(y)
+        roots = y[:, :, 0]
+    # Cross-group levels: natural adjacent pairing over the group roots.
+    # The bitrev gather here touches 2^(log2n-group_log2) columns (typically
+    # 16) — noise, unlike the full-array permutation it replaces.
+    gl = log2n - group_log2
+    fold = jnp.take(roots, jnp.asarray(_bitrev(gl)), axis=1)
+    return reduce_words_body(fold, gl, use_pallas, interpret)
+
+
+def reduce_grouped_block(x, log2n: int, group_log2: int, backend: str = "auto"):
+    """Jitted wrapper over :func:`reduce_grouped_body` for engine slice
+    reduction; returns an async (8,) device array."""
+    interpret = _use_interpret()
+    use_pallas = backend == "pallas" or (backend == "auto" and not interpret)
+    return _reduce_grouped_jit(jnp.asarray(x), log2n, group_log2, use_pallas, interpret)
+
+
+_reduce_grouped_jit = jax.jit(reduce_grouped_body, static_argnums=(1, 2, 3, 4))
+
+
+def group_bitrev_to_natural(x, log2n: int, group_log2: int):
+    """(8, 2^log2n) group-bitrev columns -> natural-order columns: a
+    per-group bit-reversal of the minor axis (no transpose — rev is an
+    involution and groups are already in natural order).  Used once per
+    stream to normalize a ragged final slice for the binary-decomposition
+    path; never on the hot full-slice path."""
+    if group_log2 >= log2n:
+        return bitrev_fold_words(x, log2n)
+    n = 1 << log2n
+    y = x.reshape(8, n >> group_log2, 1 << group_log2)
+    y = jnp.take(y, jnp.asarray(_bitrev(group_log2)), axis=2)
+    return y.reshape(8, n)
 
 
 def reduce_natural_body(cols_nat, log2n: int, use_pallas: bool, interpret: bool):

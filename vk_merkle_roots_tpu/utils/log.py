@@ -27,8 +27,19 @@ def enable_verbose(level: int = logging.DEBUG) -> None:
     _LOGGER.setLevel(level)
 
 
-def event(name: str, **fields) -> None:
-    """Log one structured pipeline event (no-op unless verbose)."""
-    if _LOGGER.isEnabledFor(logging.DEBUG):
+def enable_default() -> None:
+    """INFO-level per-op completion events, on by default in the CLI — the
+    reference prints every retired mapping/reduction with sizes and ms
+    unconditionally (Mappings.cpp:336-342, Reductions.cpp:644-656);
+    ``--verbose`` upgrades to the full DEBUG event stream."""
+    if not _LOGGER.handlers:
+        enable_verbose(logging.INFO)
+
+
+def event(name: str, _level: int = logging.DEBUG, **fields) -> None:
+    """Log one structured pipeline event.  Op-completion events pass
+    ``_level=logging.INFO`` so the CLI surfaces them by default; everything
+    else stays at DEBUG behind ``--verbose``."""
+    if _LOGGER.isEnabledFor(_level):
         payload = " ".join(f"{k}={v}" for k, v in fields.items())
-        _LOGGER.debug("%s %s", name, payload)
+        _LOGGER.log(_level, "%s %s", name, payload)
