@@ -369,8 +369,12 @@ def bench_engine(
         backend="auto",
     )
     eng = StagedEngine(name="bench", config=cfg)
-    # Warm the compile caches (and the staged upload) outside the timing.
-    assert eng.AddSpans(data, offs, lens)
+    # Warm the compile caches (and the staged upload) outside the timing —
+    # including one FULL slice so the grouped slice-reduction program
+    # compiles here, not inside the timed loop (a first Mosaic compile
+    # costs minutes and would read as a ~200x throughput collapse).
+    for _ in range(1 << (slice_log2 - batch_log2)):
+        assert eng.AddSpans(data, offs, lens)
     eng.Root()
     eng.Reset()  # the staged upload persists: it happens once, pre-timing
 

@@ -196,60 +196,6 @@ def _tail_reduce_xla(x):
     return x[:, 0]
 
 
-def _tail_kernel_grouped(x_ref, o_ref):
-    """Per-group fused tail: one grid step folds one group's last tile
-    (1024 bitrev-ordered digests) to its subtree root — the grid-parallel
-    form of :func:`_tail_kernel` used by the group-bitrev layout.  Blocks:
-    x (8, 1, 8, 128); o (8, 1, 8, 128) with the root broadcast (Mosaic
-    requires full (8, 128)-tile minor block dims)."""
-    rows, cols = TILE_SUB, TILE_LANE
-    words = [x_ref[j, 0] for j in range(8)]
-    for _ in range(10):
-        if rows > 1:
-            left = tuple(w[: rows // 2, :] for w in words)
-            right = tuple(w[rows // 2 :, :] for w in words)
-            rows //= 2
-        else:
-            left = tuple(w[:, : cols // 2] for w in words)
-            right = tuple(w[:, cols // 2 :] for w in words)
-            cols //= 2
-        words = list(sha256_core.node_hash_words(left, right))
-    for j in range(8):
-        # Lanes-only broadcast (Mosaic has no both-dims scalar broadcast);
-        # the out block's sublane dim is 1, matching the array dim exactly.
-        o_ref[j] = jnp.broadcast_to(words[j][:1, :1], (1, TILE_LANE)).reshape(
-            1, 1, TILE_LANE
-        )
-
-
-@partial(jax.jit, static_argnums=(1,))
-def _tail_reduce_grouped_pallas(tiles, interpret: bool):
-    """(8, G, 8, 128) — G group tiles, each 1024 bitrev digests -> (8, G)
-    group subtree roots, one fused launch with a grid step per group."""
-    g = tiles.shape[1]
-    out = pl.pallas_call(
-        _tail_kernel_grouped,
-        grid=(g,),
-        in_specs=[
-            pl.BlockSpec(
-                (8, 1, TILE_SUB, TILE_LANE), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM
-            )
-        ],
-        out_specs=pl.BlockSpec(
-            (8, 1, 1, TILE_LANE), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((8, g, 1, TILE_LANE), jnp.uint32),
-        interpret=interpret,
-    )(tiles)
-    return out[:, :, 0, 0]
-
-
-def _fold_minor_xla(y):
-    """(8, G, m) -> (8, G, m/2): fold each group's minor-axis halves."""
-    half = y.shape[2] // 2
-    left = tuple(y[j, :, :half] for j in range(8))
-    right = tuple(y[j, :, half:] for j in range(8))
-    return jnp.stack(sha256_core.node_hash_words(left, right, unroll=False), axis=0)
 
 
 def _fuse_tail() -> bool:
@@ -309,28 +255,29 @@ def reduce_grouped_body(x, log2n: int, group_log2: int, use_pallas: bool, interp
     if group_log2 >= log2n:
         return reduce_words_body(x, log2n, use_pallas, interpret)
     groups = 1 << (log2n - group_log2)
-    if use_pallas and (1 << group_log2) >= TILE:
+    m = 1 << group_log2  # live digests per group
+    if use_pallas and m // 2 >= FOLD_BLOCK_TILES * TILE:
+        # In-group levels fold per-group halves while the per-group output
+        # still fills a full fold block — the bulk of the data reduces here
+        # with zero permutation.
         tiles = x.reshape(8, n // TILE, TILE_SUB, TILE_LANE)
-        while tiles.shape[1] > groups:
+        while tiles.shape[1] // (2 * groups) >= FOLD_BLOCK_TILES:
             tiles = _fold_level_pallas(tiles, interpret, groups=groups)
-        if not interpret and _fuse_tail():
-            roots = _tail_reduce_grouped_pallas(tiles, interpret)
-        else:
-            y = tiles.reshape(8, groups, TILE)
-            while y.shape[2] > 1:
-                y = _fold_minor_xla(y)
-            roots = y[:, :, 0]
-    else:
-        y = x.reshape(8, groups, 1 << group_log2)
-        while y.shape[2] > 1:
-            y = _fold_minor_xla(y)
-        roots = y[:, :, 0]
-    # Cross-group levels: natural adjacent pairing over the group roots.
-    # The bitrev gather here touches 2^(log2n-group_log2) columns (typically
-    # 16) — noise, unlike the full-array permutation it replaces.
-    gl = log2n - group_log2
-    fold = jnp.take(roots, jnp.asarray(_bitrev(gl)), axis=1)
-    return reduce_words_body(fold, gl, use_pallas, interpret)
+        x = tiles.reshape(8, tiles.shape[1] * TILE)
+        m = tiles.shape[1] * TILE // groups
+    # Handoff: one small gather+transpose turns the remainder into a plain
+    # bit-reversed array, so every remaining level (the rest of the in-group
+    # levels, then the cross-group levels) is a standard flat-halves fold on
+    # the existing kernels.  Storage index at this point is (g, p') with p'
+    # per-group bitrev; the flat bitrev index is (p', rev(g)) — a G-element
+    # gather of contiguous rows plus an axis swap, paid at 1/(2^folded) of
+    # the slice size (for the default shapes, ~1/8: e.g. 32 MB instead of
+    # the 256 MB the round-3 natural path permuted).
+    y = x.reshape(8, groups, m)
+    if groups > 1:
+        y = jnp.take(y, jnp.asarray(_bitrev(log2n - group_log2)), axis=1)
+    y = y.transpose(0, 2, 1).reshape(8, groups * m)
+    return reduce_words_body(y, ceil_log2(groups * m), use_pallas, interpret)
 
 
 def reduce_grouped_block(x, log2n: int, group_log2: int, backend: str = "auto"):
