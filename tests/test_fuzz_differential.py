@@ -60,3 +60,29 @@ def test_single_byte_leaves_large_count():
     dev = TpuSha256D(name="s", config=EngineConfig(slice_log2=7, batch_leaves=333, backend="xla"))
     dev.AddMany(leaves)
     assert dev.Root() == want
+
+
+@pytest.mark.parametrize("trial", range(6))
+def test_randomized_grouped_stream(trial):
+    """Pow-2 batches (group-bitrev storage) with randomized chunked
+    ingestion: chunk boundaries fall anywhere relative to groups, fuzzing
+    the merge, scatter-append, and mixed-layout slice paths."""
+    rng = np.random.default_rng(7000 + trial)
+    n = int(rng.integers(1, 500))
+    leaves = [
+        rng.integers(0, 256, size=int(rng.integers(1, 200)), dtype=np.uint8).tobytes()
+        for _ in range(n)
+    ]
+    want = oracle.merkle_root(leaves).hex()
+    slice_log2 = int(rng.integers(3, 8))
+    batch = 1 << int(rng.integers(2, 7))  # pow-2: grouping on
+    dev = TpuSha256D(
+        name="gfuzz",
+        config=EngineConfig(slice_log2=slice_log2, batch_leaves=batch, backend="xla"),
+    )
+    i = 0
+    while i < n:
+        step = int(rng.integers(1, 2 * batch))
+        assert dev.AddMany(leaves[i : i + step])
+        i += step
+    assert dev.Root() == want, f"slice_log2={slice_log2} batch={batch} n={n}"

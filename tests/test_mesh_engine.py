@@ -61,3 +61,27 @@ def test_mesh_engine_sharded_reduce(rng):
     assert e.AddMany(leaves)
     assert e.Root() == oracle.merkle_root(leaves).hex()
     assert e.Stats()["devices"] == 8
+
+
+def test_mesh_engine_sharded_reduce_grouped(rng):
+    """MESH --sharded with a pow-2 batch: slices land in group-bitrev
+    storage and must be normalized (group_bitrev_to_natural) before the
+    shard_map reducer; root byte-exact vs oracle."""
+    leaves = random_leaves(rng, 300, maxlen=60)
+    e = MeshSha256D(
+        config=EngineConfig(
+            slice_log2=6, batch_leaves=32, backend="xla", sharded_reduce=True
+        )
+    )
+    assert e.AddMany(leaves)
+    assert e._group_log2 == 5
+    assert e.Root() == oracle.merkle_root(leaves).hex()
+
+
+def test_mesh_engine_grouped_round_robin(rng):
+    """Grouped slices on the round-robin (non-sharded) path reduce via
+    reduce_grouped_block on whichever device gets the slice."""
+    leaves = random_leaves(rng, 200, maxlen=60)
+    e = _engine(batch_leaves=16)
+    assert e.AddMany(leaves)
+    assert e.Root() == oracle.merkle_root(leaves).hex()

@@ -523,7 +523,7 @@ class TpuSha256D(Sha256dEngine):
             np.concatenate(lens_parts),
         )
 
-    def _append_grouped_partial(self, append, digs, count: int) -> None:
+    def _append_grouped_partial(self, digs, count: int) -> None:
         """Scatter a natural-order digest chunk into the group-bitrev layout
         (partial flushes into a grouped slice: final drain, byte-triggered
         flushes, OOM-degraded batch caps).  Quantization-padding columns are
@@ -612,7 +612,7 @@ class TpuSha256D(Sha256dEngine):
             for packed, nbytes in work:
                 digs = self._hash_packed(packed)
                 if self._slice_grouped and not group_flush:
-                    self._append_grouped_partial(append, digs, packed.count)
+                    self._append_grouped_partial(digs, packed.count)
                 else:
                     self._buf = append(self._buf, digs, np.int32(self._fill))
                     self._fill += packed.count
