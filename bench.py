@@ -313,9 +313,9 @@ def bench_stream_pipeline(slice_log2: int = 20, batch_log2: int = 16, n_slices: 
 
 
 def bench_engine(
-    slice_log2: int = 18,
-    batch_log2: int = 14,
-    n_batches: int = 64,
+    slice_log2: int = 20,
+    batch_log2: int = 16,
+    n_batches: int = 32,
     leaf_bytes: int = 127,
     stats_sample_every: int = 0,
     return_stats: bool = False,
@@ -330,7 +330,14 @@ def bench_engine(
     this development tunnel moves ~1 MB/s (a production host uploads at
     PCIe/ICI rates).  The device still re-hashes every batch.  The root is
     checked byte-exact against the oracle over the full repeated stream.
-    Returns (payload_GBps, leaves_per_sec, ok)."""
+    Returns (payload_GBps, leaves_per_sec, ok).
+
+    Defaults are the engine's production shapes (2^20-leaf slices fed by
+    2^16-leaf batches).  The result is HOST-bound: ~1 GB/s of packing on
+    this 2-core VM plus per-dispatch tunnel RPC (small batches halve the
+    rate to ~0.37 GB/s — that is dispatch amortization, not device time;
+    the device itself maps+reduces this stream at 30+ GB/s, see
+    stream_pipeline)."""
     import jax
 
     from vk_merkle_roots_tpu import oracle
@@ -701,7 +708,7 @@ def main():
             "root_latency_ms_2^16x64B": round(lat64_sec * 1e3, 3),
             "stream_pipeline_GBps_4x2^20x127B": round(stream_gbps, 3),
             "stream_pipeline_leaves_per_sec": round(stream_leaves),
-            "engine_GBps_2^20x127B": round(engine_gbps, 3),
+            "engine_GBps_2^21x127B": round(engine_gbps, 3),
             "engine_leaves_per_sec": round(engine_leaves),
             "engine_root_ok": engine_ok,
             "host_pack_MBps_varlen": round(pack_mbps, 1),
