@@ -77,6 +77,16 @@ def _use_interpret() -> bool:
 # grid math relies on the knob dividing every pow-2 tile count).
 FOLD_BLOCK_TILES = pow2_env("VKMR_FOLD_TILES", 8)
 
+# Grouped-reduction handoff point: in-group folds run while the per-group
+# OUTPUT still spans at least this many tiles; below it, one small
+# gather+transpose hands the remainder to the standard fold pipeline
+# (reduce_grouped_body).  Swept on-chip round 4 at 2^23/G=128:
+# {2: 20.24, 4: 18.76, 8: 20.36, 16: 20.45, 32: 18.26} GB/s — 8/16
+# equivalent within the ~+-1 GB/s run noise, the extremes regress.
+# Defaults to FOLD_BLOCK_TILES so fold blocks never shrink below the
+# swept fold optimum.
+GROUP_HANDOFF_TILES = pow2_env("VKMR_GROUP_HANDOFF_TILES", FOLD_BLOCK_TILES)
+
 
 def _fold_kernel(l_ref, r_ref, o_ref):
     """One tree level for one output block of b tiles: b*1024 node hashes.
@@ -256,12 +266,12 @@ def reduce_grouped_body(x, log2n: int, group_log2: int, use_pallas: bool, interp
         return reduce_words_body(x, log2n, use_pallas, interpret)
     groups = 1 << (log2n - group_log2)
     m = 1 << group_log2  # live digests per group
-    if use_pallas and m // 2 >= FOLD_BLOCK_TILES * TILE:
+    if use_pallas and m // 2 >= GROUP_HANDOFF_TILES * TILE:
         # In-group levels fold per-group halves while the per-group output
         # still fills a full fold block — the bulk of the data reduces here
         # with zero permutation.
         tiles = x.reshape(8, n // TILE, TILE_SUB, TILE_LANE)
-        while tiles.shape[1] // (2 * groups) >= FOLD_BLOCK_TILES:
+        while tiles.shape[1] // (2 * groups) >= GROUP_HANDOFF_TILES:
             tiles = _fold_level_pallas(tiles, interpret, groups=groups)
         x = tiles.reshape(8, tiles.shape[1] * TILE)
         m = tiles.shape[1] * TILE // groups
