@@ -12,15 +12,35 @@ import jax
 import numpy as np
 
 from ..packing import pack_leaves
-from ..utils.bitmath import ceil_log2, is_pow2
+from ..utils.bitmath import bit_reverse_indices, ceil_log2, is_pow2
+from ..utils.hexutil import words_to_digest
 from .leaf_hash import TILE, _bucket_hashes, leaf_hashes
-from .tree_reduce import merkle_root_of_digest_cols, reduce_natural_body
+from .tree_reduce import (
+    _reduce_words,
+    merkle_root_of_digest_cols,
+    reduce_natural_body,
+)
 
 
 def merkle_root_device(leaves: list[bytes], backend: str = "auto") -> bytes:
-    """Byte-exact Merkle root of a list of leaves, computed on device."""
+    """Byte-exact Merkle root of a list of leaves, computed on device.
+
+    Power-of-two leaf counts are packed in bit-reversed order (a free
+    host-side reordering, the same trick the streaming engine plays per
+    batch — docs/DESIGN.md §2b), so the reduction runs permutation-free on
+    the fold pipeline; other counts take the natural-order path with the
+    factored bit-reversal."""
     if not leaves:
         raise ValueError("cannot take the Merkle root of zero leaves")
+    count = len(leaves)
+    if is_pow2(count) and count >= 2:
+        k = ceil_log2(count)
+        rev = bit_reverse_indices(k)
+        packed = pack_leaves([leaves[i] for i in rev])
+        digests = leaf_hashes(packed, backend)[:, :count]  # bitrev order
+        interpret = jax.default_backend() != "tpu"
+        use_pallas = backend == "pallas" or (backend == "auto" and not interpret)
+        return words_to_digest(np.asarray(_reduce_words(digests, k, use_pallas, interpret)))
     packed = pack_leaves(leaves)
     digests = leaf_hashes(packed, backend)  # (8, quantized) word-major
     return merkle_root_of_digest_cols(digests, packed.count, backend)
