@@ -388,6 +388,8 @@ def bench_engine(
     t0 = time.perf_counter()
     for _ in range(n_batches):
         if not eng.AddSpans(data, offs, lens):
+            if return_stats:
+                return 0.0, 0.0, False, eng.Stats()
             return 0.0, 0.0, False
     got = eng.Root()
     sec = time.perf_counter() - t0

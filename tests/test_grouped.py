@@ -195,3 +195,39 @@ def test_slice_oom_degrade_refused_after_commit(rng, monkeypatch):
     assert e.AddMany(random_leaves(rng, 20, maxlen=30)) is False
     assert e.config.slice_log2 == 5  # unchanged
     monkeypatch.setattr(jax, "device_put", real_put)
+
+
+def test_merge_chunks_sparse_spans(rng):
+    """A grouped flush merging chunks whose spans are sparse over a large
+    shared buffer must extract O(payload) bytes (vectorized per-span
+    gather) and still produce the oracle root."""
+    buf = rng.integers(0, 256, size=1 << 20, dtype=np.uint8)
+    # 8 leaves scattered across the megabyte, fed as two 4-leaf chunks.
+    offsets = np.array([0, 300_000, 600_000, 900_000, 50, 200_001, 700_007, 999_000], np.int64)
+    lengths = np.array([10, 20, 30, 40, 11, 21, 31, 24], np.int64)
+    e = TpuSha256D(name="sp", config=_grouped_cfg(slice_log2=4, batch_leaves=8))
+    assert e.AddSpans(buf, offsets[:4], lengths[:4])
+    assert e.AddSpans(buf, offsets[4:], lengths[4:])
+    leaves = [buf[int(o) : int(o + l)].tobytes() for o, l in zip(offsets, lengths)]
+    assert e.Root() == oracle.merkle_root(leaves).hex()
+
+
+def test_slice_oom_degrade_refused_when_journaling(rng, monkeypatch, tmp_path):
+    """A journaling engine must NOT degrade the slice size after ingest has
+    begun: the stream-integrity snapshots are keyed to the original slice
+    boundaries and cannot be rebased (fail soft instead)."""
+    import jax
+
+    def fail_put(x, device=None, **kw):
+        raise RuntimeError("RESOURCE_EXHAUSTED: fake")
+
+    monkeypatch.setattr(jax, "device_put", fail_put)
+    monkeypatch.setattr(TpuSha256D, "_SLICE_FLOOR_LOG2", 2)
+    e = TpuSha256D(
+        name="jd",
+        config=_grouped_cfg(
+            slice_log2=6, batch_leaves=16, journal_path=str(tmp_path / "j.jsonl")
+        ),
+    )
+    assert e.AddMany(random_leaves(rng, 40, maxlen=30)) is False
+    assert e.config.slice_log2 == 6  # no silent shape change

@@ -174,7 +174,17 @@ def test_engine_stats_match_bench_rates():
     )
     assert ok, "engine root mismatch"
     stages = stats["stages"]
-    map_rate = stages["map_device"]["GB_per_s"]
-    red_rate = stages["reduce_device"]["GB_per_s"]
-    assert map_rate > 1.5, f"map_device={map_rate} GB/s reads pack-bound"
-    assert red_rate > 1.0, f"reduce_device={red_rate} GB/s implausibly low"
+    # A sample whose RTT-adjusted interval sits inside the transport jitter
+    # is recorded as *_below_resolution instead of a garbage rate; that
+    # outcome also proves the stage is not pack-bound (the work was too
+    # FAST to resolve), so accept either.
+    if "map_device" in stages:
+        map_rate = stages["map_device"]["GB_per_s"]
+        assert map_rate > 1.5, f"map_device={map_rate} GB/s reads pack-bound"
+    else:
+        assert "map_device_below_resolution" in stages
+    if "reduce_device" in stages:
+        red_rate = stages["reduce_device"]["GB_per_s"]
+        assert red_rate > 1.0, f"reduce_device={red_rate} GB/s implausibly low"
+    else:
+        assert "reduce_device_below_resolution" in stages

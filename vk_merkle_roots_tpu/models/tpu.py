@@ -433,11 +433,17 @@ class TpuSha256D(Sha256dEngine):
                 # halve the slice until the device accepts it.  Only legal
                 # before any tree shape is committed — a completed or
                 # journal-adopted slice pins the slice height (the root
-                # depends on it).
+                # depends on it), and a journaling engine pins it even
+                # earlier: the stream-integrity snapshots already taken by
+                # _update_stream_digest are keyed to the OLD slice
+                # boundaries and cannot be rebased (the running sha's state
+                # at other boundaries is gone), so resume would refuse a
+                # valid journal.
                 if (
                     self._roots
                     or self._fill
                     or self._preloaded
+                    or (self.config.journal_path and self._digested)
                     or self.config.slice_log2 <= self._SLICE_FLOOR_LOG2
                 ):
                     raise
@@ -504,8 +510,11 @@ class TpuSha256D(Sha256dEngine):
     def _merge_chunks(self, chunks):
         """Merge popped (data, offsets, lengths) chunks into one span set so
         a whole flush group can be packed (and bit-reversal-permuted) as a
-        single ``pack_spans`` call.  Single-chunk groups are zero-copy; a
-        multi-chunk group copies only the covered byte ranges."""
+        single ``pack_spans`` call.  Single-chunk groups are zero-copy.  A
+        multi-chunk group copies the covering byte range when the spans are
+        dense (the streaming reader's layout); sparse spans over a large
+        shared buffer (exotic AddSpans use) fall back to a vectorized
+        per-span gather so the copy is O(payload), not O(covered range)."""
         if len(chunks) == 1:
             return chunks[0]
         datas, offs_parts, lens_parts = [], [], []
@@ -513,10 +522,19 @@ class TpuSha256D(Sha256dEngine):
         for data, offs, lens in chunks:
             lo = int(offs.min())
             hi = int((offs + lens).max())
-            datas.append(data[lo:hi])
-            offs_parts.append(offs - lo + base)
-            lens_parts.append(lens)
-            base += hi - lo
+            total = int(lens.sum())
+            if hi - lo <= 4 * total:
+                datas.append(data[lo:hi])
+                offs_parts.append(offs - lo + base)
+                lens_parts.append(lens)
+                base += hi - lo
+            else:
+                cum = np.concatenate(([0], np.cumsum(lens)[:-1]))
+                within = np.arange(total, dtype=np.int64) - np.repeat(cum, lens)
+                datas.append(data[np.repeat(offs, lens) + within])
+                offs_parts.append(cum + base)
+                lens_parts.append(lens)
+                base += total
         return (
             np.concatenate(datas),
             np.concatenate(offs_parts),
@@ -606,9 +624,16 @@ class TpuSha256D(Sha256dEngine):
             sw.Start()
             if sample:
                 rtt = self._measure_sync_rtt()
+                sw_drain = StopWatch()
                 np.asarray(self._buf[0, :1])
+                # The queue is already drained (the RTT probe ran), so this
+                # readback's elapsed is a fresh RTT observation — fold it
+                # into the estimate so transport drift doesn't make later
+                # samples systematically over- or under-read.
+                self._sync_rtt_ms = rtt = 0.7 * rtt + 0.3 * sw_drain.Elapsed()
                 sw_dev = StopWatch()
                 sampled_bytes = 0
+                sw.Start()  # map_dispatch must not absorb the sample syncs
             for packed, nbytes in work:
                 digs = self._hash_packed(packed)
                 if self._slice_grouped and not group_flush:
@@ -624,13 +649,15 @@ class TpuSha256D(Sha256dEngine):
             if sample and done:
                 np.asarray(self._buf[0, :1])
                 # Subtract the transport RTT of the closing sync so the
-                # recorded interval is device execution, not the bus.
-                self.times.add(
-                    "map_device",
-                    max(sw_dev.Elapsed() - rtt, 1e-3),
-                    sampled_bytes,
-                    throughput=True,
-                )
+                # recorded interval is device execution, not the bus; when
+                # the residual is inside the RTT jitter the sample carries
+                # no information — count it separately instead of reporting
+                # a garbage (floor-clamped, absurdly high) rate.
+                adj = sw_dev.Elapsed() - rtt
+                if adj > max(0.05, 0.01 * rtt):
+                    self.times.add("map_device", adj, sampled_bytes, throughput=True)
+                else:
+                    self.times.add("map_device_below_resolution", sw_dev.Elapsed())
             # Per-op completion record, INFO by default like the reference's
             # unconditional per-mapping print (Mappings.cpp:336-342).
             event(
@@ -679,17 +706,18 @@ class TpuSha256D(Sha256dEngine):
             sample = every and self._reduce_ops % max(1, every // 8) == 0
             if sample:
                 rtt = self._measure_sync_rtt()
+                sw_drain = StopWatch()
                 np.asarray(self._buf[0, :1])
+                self._sync_rtt_ms = rtt = 0.7 * rtt + 0.3 * sw_drain.Elapsed()
                 sw_dev = StopWatch()
             root = self._reduce_full_slice(self._buf[:, : self._cap])
             if sample:
                 np.asarray(root)
-                self.times.add(
-                    "reduce_device",
-                    max(sw_dev.Elapsed() - rtt, 1e-3),
-                    self._cap * 32,
-                    throughput=True,
-                )
+                adj = sw_dev.Elapsed() - rtt
+                if adj > max(0.05, 0.01 * rtt):
+                    self.times.add("reduce_device", adj, self._cap * 32, throughput=True)
+                else:
+                    self.times.add("reduce_device_below_resolution", sw_dev.Elapsed())
             self._roots.append(root)
             self._full_slices += 1
             # Per-op completion record, INFO by default like the reference's

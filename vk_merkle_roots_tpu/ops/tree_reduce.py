@@ -266,23 +266,33 @@ def reduce_grouped_body(x, log2n: int, group_log2: int, use_pallas: bool, interp
         return reduce_words_body(x, log2n, use_pallas, interpret)
     groups = 1 << (log2n - group_log2)
     m = 1 << group_log2  # live digests per group
-    if use_pallas and m // 2 >= GROUP_HANDOFF_TILES * TILE:
-        # In-group levels fold per-group halves while the per-group output
-        # still fills a full fold block — the bulk of the data reduces here
-        # with zero permutation.
-        tiles = x.reshape(8, n // TILE, TILE_SUB, TILE_LANE)
-        while tiles.shape[1] // (2 * groups) >= GROUP_HANDOFF_TILES:
-            tiles = _fold_level_pallas(tiles, interpret, groups=groups)
-        x = tiles.reshape(8, tiles.shape[1] * TILE)
-        m = tiles.shape[1] * TILE // groups
+    if not (use_pallas and m // 2 >= GROUP_HANDOFF_TILES * TILE):
+        # Groups too small for in-group Pallas folds (or no Pallas at all):
+        # the handoff gather below would move tiny m-element runs across
+        # the WHOLE slice — the monolithic-permutation pattern that
+        # measured 4.8x off bandwidth.  Normalize to natural order instead
+        # (cheap per-group minor gather) and take the measured factored-
+        # bitrev path.
+        return reduce_natural_body(
+            group_bitrev_to_natural(x, log2n, group_log2), log2n, use_pallas, interpret
+        )
+    # In-group levels fold per-group halves while the per-group output
+    # still fills a full fold block — the bulk of the data reduces here
+    # with zero permutation.
+    tiles = x.reshape(8, n // TILE, TILE_SUB, TILE_LANE)
+    while tiles.shape[1] // (2 * groups) >= GROUP_HANDOFF_TILES:
+        tiles = _fold_level_pallas(tiles, interpret, groups=groups)
+    x = tiles.reshape(8, tiles.shape[1] * TILE)
+    m = tiles.shape[1] * TILE // groups
     # Handoff: one small gather+transpose turns the remainder into a plain
     # bit-reversed array, so every remaining level (the rest of the in-group
     # levels, then the cross-group levels) is a standard flat-halves fold on
     # the existing kernels.  Storage index at this point is (g, p') with p'
     # per-group bitrev; the flat bitrev index is (p', rev(g)) — a G-element
-    # gather of contiguous rows plus an axis swap, paid at 1/(2^folded) of
-    # the slice size (for the default shapes, ~1/8: e.g. 32 MB instead of
-    # the 256 MB the round-3 natural path permuted).
+    # gather of contiguous m*32 B rows (>= 256 KB each here, by the branch
+    # guard above) plus an axis swap, paid at 1/(2^folded) of the slice
+    # size (for the default shapes, ~1/8: e.g. 32 MB instead of the 256 MB
+    # the round-3 natural path permuted).
     y = x.reshape(8, groups, m)
     if groups > 1:
         y = jnp.take(y, jnp.asarray(_bitrev(log2n - group_log2)), axis=1)
@@ -306,7 +316,8 @@ def group_bitrev_to_natural(x, log2n: int, group_log2: int):
     per-group bit-reversal of the minor axis (no transpose — rev is an
     involution and groups are already in natural order).  Used once per
     stream to normalize a ragged final slice for the binary-decomposition
-    path; never on the hot full-slice path."""
+    path, and by :func:`reduce_grouped_body`'s small-group fallback (where
+    the handoff gather's runs would be too fine-grained)."""
     if group_log2 >= log2n:
         return bitrev_fold_words(x, log2n)
     n = 1 << log2n
