@@ -551,6 +551,12 @@ class TpuSha256D(Sha256dEngine):
         dest = ((pos >> k) << k) + self._rev_group[pos & ((1 << k) - 1)]
         pad = digs.shape[1] - count
         if pad:
+            # Padding columns land in the slack region past self._cap; the
+            # constructor bounds batch_leaves <= slack, but assert the
+            # per-call invariant too so a future bucket-capacity-ladder or
+            # _SLACK_LOG2 change cannot silently fall back on JAX's
+            # drop-out-of-bounds scatter semantics (ADVICE r4).
+            assert pad <= (1 << _SLACK_LOG2), (pad, _SLACK_LOG2)
             dest = np.concatenate(
                 [dest, self._cap + np.arange(pad, dtype=np.int64)]
             )
@@ -624,13 +630,17 @@ class TpuSha256D(Sha256dEngine):
             sw.Start()
             if sample:
                 rtt = self._measure_sync_rtt()
-                sw_drain = StopWatch()
+                np.asarray(self._buf[0, :1])  # drain any async backlog (untimed)
+                sw_probe = StopWatch()
                 np.asarray(self._buf[0, :1])
-                # The queue is already drained (the RTT probe ran), so this
-                # readback's elapsed is a fresh RTT observation — fold it
-                # into the estimate so transport drift doesn't make later
-                # samples systematically over- or under-read.
-                self._sync_rtt_ms = rtt = 0.7 * rtt + 0.3 * sw_drain.Elapsed()
+                # The queue is NOW empty (the drain above settled it), so
+                # this second readback is a clean RTT observation; fold it
+                # into the EWMA so transport drift doesn't bias later
+                # samples.  The drain readback itself must NOT feed the
+                # EWMA: it measures backlog-drain + RTT (the cached
+                # _measure_sync_rtt only drains on its first call), which
+                # inflated the estimate (ADVICE r4).
+                self._sync_rtt_ms = rtt = 0.7 * rtt + 0.3 * sw_probe.Elapsed()
                 sw_dev = StopWatch()
                 sampled_bytes = 0
                 sw.Start()  # map_dispatch must not absorb the sample syncs
@@ -706,9 +716,10 @@ class TpuSha256D(Sha256dEngine):
             sample = every and self._reduce_ops % max(1, every // 8) == 0
             if sample:
                 rtt = self._measure_sync_rtt()
-                sw_drain = StopWatch()
-                np.asarray(self._buf[0, :1])
-                self._sync_rtt_ms = rtt = 0.7 * rtt + 0.3 * sw_drain.Elapsed()
+                np.asarray(self._buf[0, :1])  # drain any async backlog (untimed)
+                sw_probe = StopWatch()
+                np.asarray(self._buf[0, :1])  # queue empty: clean RTT observation
+                self._sync_rtt_ms = rtt = 0.7 * rtt + 0.3 * sw_probe.Elapsed()
                 sw_dev = StopWatch()
             root = self._reduce_full_slice(self._buf[:, : self._cap])
             if sample:
