@@ -72,7 +72,11 @@ def test_engine_grouped_partial_scatter(rng):
     leaves = random_leaves(rng, 22, maxlen=40)
     e = TpuSha256D(name="g", config=_grouped_cfg())
     assert e.AddMany(leaves[:16])  # full group -> grouped layout
-    assert e._slice_grouped is True
+    # The layout decision is made at pack submission (the dispatch may
+    # trail by the pack-ahead depth): the plan must be grouped, and the
+    # dispatched state must agree once the batch lands.
+    assert e._plan_grouped is True
+    assert e._slice_grouped in (None, True)
     assert e.AddMany(leaves[16:])  # 6 pending, below batch: no flush yet
     assert e.Root() == oracle.merkle_root(leaves).hex()
 
@@ -181,7 +185,8 @@ def test_slice_oom_degrade_refused_after_commit(rng, monkeypatch):
 
     leaves = random_leaves(rng, 40, maxlen=30)
     e = TpuSha256D(name="oomc", config=_grouped_cfg(slice_log2=5, batch_leaves=16))
-    assert e.AddMany(leaves)  # one full slice committed
+    assert e.AddMany(leaves)
+    assert e.Drain()  # settle the pack-ahead queue: one full slice committed
     assert e._full_slices >= 1
 
     real_put = jax.device_put

@@ -37,8 +37,8 @@ def _tpu_device_names() -> list[str]:
 def run(
     engine,
     in_stream,
-    out=sys.stdout,
-    err=sys.stderr,
+    out=None,
+    err=None,
     stats: bool = False,
     proof_index: int | None = None,
     skip_leaves: int = 0,
@@ -55,6 +55,11 @@ def run(
 
     from .ingest import iter_line_spans
 
+    # Resolve the streams at call time, not def time: a default bound to
+    # sys.stdout at import would dodge contextlib.redirect_stdout and any
+    # later stream swap a caller sets up.
+    out = sys.stdout if out is None else out
+    err = sys.stderr if err is None else err
     count = 0
     size = 0
     skipped = 0

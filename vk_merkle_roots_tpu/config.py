@@ -40,6 +40,16 @@ class EngineConfig:
     # heapSize/batchSize per heap, Batches.cpp:294-331) — there the budget
     # is discovered from the driver; here it is a declared policy knob.
     host_pending_bytes: int = 256 << 20
+    # Pack-ahead depth: number of flush batches packed on a background
+    # thread ahead of device dispatch.  This reproduces the reference's
+    # defining asynchrony — the GPU hashes while the host keeps reading
+    # stdin (SHA-256vk.cpp:315-346, README.md:75-83): with depth >= 1 the
+    # caller's thread only dispatches (async) device work while the packer
+    # thread prepares the next batch, so ingest, packing, and device
+    # hashing all overlap.  0 packs inline on the caller's thread (the
+    # round-4 serial behavior, kept for debugging).  Packed-but-undispatched
+    # payload counts against ``host_pending_bytes``.
+    pack_ahead: int = 2
     backend: str = "auto"
     max_slices_in_flight: int = 8
     # Per-leaf message-block bound for device hashing; longer leaves hash on

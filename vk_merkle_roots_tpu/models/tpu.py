@@ -7,9 +7,19 @@ overlaps host ingest with device hashing and reduction.
 
 Asynchrony model (replacing fences and the Mappings/Reductions managers,
 Ops.h:23-57): every device call is async under JAX dispatch — ``leaf_hashes``
-and ``reduce_perfect_block`` return futures; the host keeps packing the next
-batch while the device works.  Slice roots accumulate as device arrays and
-are only materialized in ``Root()``.  Backpressure is explicit: at most
+and ``reduce_perfect_block`` return futures — and host-side packing runs on
+a background *pack-ahead* thread (``EngineConfig.pack_ahead`` batches deep),
+so ingest, packing, and device hashing all overlap.  This reproduces the
+reference's defining property that the GPU hashes while the host keeps
+reading stdin (SHA-256vk.cpp:315-346, README.md:75-83); round 4 packed
+inline on the caller's thread, serializing pack against dispatch and
+host-binding the engine at ~0.7 GB/s against its own ~1 GB/s pack roof.
+The flush pipeline is split producer/consumer: ``_submit_packs`` pops
+pending leaves and hands them to the pack thread against *planned* slice
+state; ``_dispatch_job`` consumes packed batches strictly in order, so the
+plan matches the dispatched reality (a device OOM rolls both back
+together).  Slice roots accumulate as device arrays and are only
+materialized in ``Root()``.  Backpressure is explicit: at most
 ``max_slices_in_flight`` un-materialized slice roots are outstanding before
 the engine blocks on the oldest — the block-and-reuse behavior the reference
 lists as a TODO (README.md:110-116) instead of halting.
@@ -35,6 +45,7 @@ Slice mechanics (Slices.h:31-251 equivalents):
 from __future__ import annotations
 
 import logging
+from collections import deque
 from functools import lru_cache, partial
 
 import numpy as np
@@ -137,6 +148,38 @@ class _PendingLeaves:
             self.nbytes += int(lens.sum())
 
 
+class _PackJob:
+    """One in-flight flush batch: popped chunks + the pack result future.
+    ``chunks`` are retained so a device OOM can return them to the pending
+    FIFO (stream order intact) even after packing."""
+
+    __slots__ = ("chunks", "future", "take", "group_flush", "nbytes")
+
+    def __init__(self, chunks, future, take: int, group_flush: bool, nbytes: int) -> None:
+        self.chunks = chunks
+        self.future = future
+        self.take = take
+        self.group_flush = group_flush
+        self.nbytes = nbytes
+
+
+class _InlinePack:
+    """Future shim for ``pack_ahead=0``: runs the pack lazily on the
+    caller's thread at ``result()`` time (the round-4 inline behavior,
+    kept for debugging)."""
+
+    __slots__ = ("_fn", "_args")
+
+    def __init__(self, fn, *args) -> None:
+        self._fn, self._args = fn, args
+
+    def result(self):
+        return self._fn(*self._args)
+
+    def done(self) -> bool:
+        return True  # "ready": executes on the caller's thread at result()
+
+
 class TpuSha256D(Sha256dEngine):
     """Streaming SHA-256d Merkle-root engine on a JAX device."""
 
@@ -175,6 +218,13 @@ class TpuSha256D(Sha256dEngine):
         self._fill = 0
         self._roots: list = []  # device (8,) arrays OR host bytes, slice order
         self._pending = _PendingLeaves()
+        # Pack-ahead pipeline: batches packed on a background thread ahead
+        # of dispatch, plus the planned slice state the producer side uses
+        # (mirrors _fill/_slice_grouped as the queued jobs will evolve them).
+        self._pack_jobs: deque[_PackJob] = deque()
+        self._inflight_nbytes = 0
+        self._plan_fill = 0
+        self._executor = None
         self._count = 0
         self._bytes = 0
         self._slice_digests: list[np.ndarray] = []  # kept when keep_digests
@@ -221,7 +271,10 @@ class TpuSha256D(Sha256dEngine):
             self._rev_group = None
         # Layout of the CURRENT slice: None until its first append, then
         # True (group-bitrev) or False (natural) for the slice's lifetime.
+        # _plan_grouped is the producer-side mirror for not-yet-dispatched
+        # pack jobs.
         self._slice_grouped: bool | None = None
+        self._plan_grouped: bool | None = None
 
     # -- journal / resume --------------------------------------------------
 
@@ -383,8 +436,10 @@ class TpuSha256D(Sha256dEngine):
                 # Host memory budget: never return to the caller holding
                 # more pending payload than the declared ceiling (the
                 # Batches.cpp:294-331 heap-accounting analog; see
-                # EngineConfig.host_pending_bytes).
-                or self._pending.nbytes > self.config.host_pending_bytes
+                # EngineConfig.host_pending_bytes).  Packed-but-undispatched
+                # pack-ahead batches count against the same budget.
+                or self._pending.nbytes + self._inflight_nbytes
+                > self.config.host_pending_bytes
             ):
                 if not self._flush_some():
                     event("ingest_failed", reason="device_oom")
@@ -563,12 +618,113 @@ class TpuSha256D(Sha256dEngine):
         self._buf = _scatter_fn()(self._buf, digs, self._jnp.asarray(dest, self._jnp.int32))
         self._fill += count
 
-    def _flush_some(self) -> bool:
-        """Move up to one slice-limited batch of pending leaves to the
-        device: pack -> hash -> append to the current slice; reduce the
-        slice when it fills.
+    def _pack_worker(self, chunks, group_flush: bool):
+        """Pack one flush batch into the device wire format (runs on the
+        pack-ahead thread).  Touches only the chunks, immutable config, and
+        the precomputed bit-reversal table — no engine state, so it is safe
+        concurrent with dispatch.  The native packer releases the GIL, so
+        packing genuinely overlaps the caller's dispatch work."""
+        sw = StopWatch()
+        if group_flush:
+            data, offs, lens = self._merge_chunks(chunks)
+            perm = self._rev_group
+            packed = pack_spans(
+                data, offs[perm], lens[perm], self.config.device_max_blocks
+            )
+            work = [(packed, int(lens.sum()))]
+        else:
+            work = []
+            for data, offs, lens in chunks:
+                work.append(
+                    (
+                        pack_spans(data, offs, lens, self.config.device_max_blocks),
+                        int(lens.sum()),
+                    )
+                )
+        return work, sw.Elapsed()
 
-        When the flush is exactly one full, aligned group (the steady-state
+    def _submit_packs(self, drain: bool = False) -> None:
+        """Producer half of the flush pipeline: pop pending leaves and hand
+        them to the pack thread, up to ``pack_ahead`` batches ahead of
+        dispatch.  Batch geometry (take, slice space, grouped layout) is
+        decided against *planned* fill state that mirrors how the dispatch
+        side will evolve; jobs dispatch strictly in order, so plan and
+        reality agree unless a device OOM rolls the pipeline back
+        (``_requeue_jobs`` resyncs both).  Without ``drain``, leaves below
+        the flush thresholds stay pending to coalesce with later input.
+        Returns True when at least one job was submitted."""
+        depth = max(1, self.config.pack_ahead)
+        submitted = False
+        while len(self._pack_jobs) < depth and self._pending.count > 0:
+            space = self._cap - self._plan_fill
+            full_take = min(space, self._batch_cap)
+            if not (
+                drain
+                or self._pending.count >= full_take
+                or self._pending.nbytes >= self.config.batch_bytes
+                # A host budget set below batch_bytes must still force
+                # progress, or AddSpans' drain loop would spin.
+                or self._pending.nbytes > self.config.host_pending_bytes
+            ):
+                break
+            take = min(self._pending.count, full_take)
+            chunks = self._pending.pop(take)
+            nbytes = sum(int(lens.sum()) for _, _, lens in chunks)
+            group = (1 << self._group_log2) if self._group_log2 is not None else 0
+            group_flush = (
+                group > 0
+                and take == group
+                and self._plan_fill % group == 0
+                and self._plan_grouped is not False
+            )
+            if self._plan_fill == 0:
+                self._plan_grouped = group_flush
+            self._plan_fill += take
+            if self._plan_fill == self._cap:
+                self._plan_fill = 0
+                self._plan_grouped = None  # next slice picks its own layout
+            if self.config.pack_ahead > 0:
+                if self._executor is None:
+                    from concurrent.futures import ThreadPoolExecutor
+
+                    self._executor = ThreadPoolExecutor(
+                        max_workers=1, thread_name_prefix="vkmr-pack"
+                    )
+                future = self._executor.submit(self._pack_worker, chunks, group_flush)
+            else:
+                future = _InlinePack(self._pack_worker, chunks, group_flush)
+            self._pack_jobs.append(_PackJob(chunks, future, take, group_flush, nbytes))
+            self._inflight_nbytes += nbytes
+            submitted = True
+        return submitted
+
+    def _requeue_jobs(self, head_chunks) -> None:
+        """Roll the flush pipeline back after a failure: return unprocessed
+        chunks (the failed job's remainder first, then every queued job's
+        chunks, in stream order) to the pending FIFO head and resync the
+        planned state to the dispatched reality — the overflow put-back
+        (SHA-256vk.cpp:389-426) extended to pack-ahead depth."""
+        tail = []
+        while self._pack_jobs:
+            job = self._pack_jobs.popleft()
+            try:
+                job.future.result()  # let the worker finish; discard output
+            except BaseException:
+                pass
+            tail.extend(job.chunks)
+        self._pending.push_front(list(head_chunks) + tail)
+        self._inflight_nbytes = 0
+        self._plan_fill = self._fill
+        self._plan_grouped = self._slice_grouped
+
+    def _flush_some(self, drain: bool = False) -> bool:
+        """Advance the flush pipeline: top up the pack-ahead queue, then
+        dispatch the oldest packed batch to the device (hash -> append to
+        the current slice; reduce the slice when it fills), then top the
+        queue up again so the pack thread works while control returns to
+        ingest.
+
+        When a flush is exactly one full, aligned group (the steady-state
         case), the merged spans are packed in bit-reversed order so the
         slice lands in group-bitrev storage and reduction needs no device
         permutation (reduce_grouped_body).  Partial flushes into a grouped
@@ -580,54 +736,70 @@ class TpuSha256D(Sha256dEngine):
         the floor, unprocessed chunks go back to the pending head and the
         batch cap halves — the accept-smaller allocation walk the reference
         does for batches (Batches.cpp:352-385)."""
-        if self._pending.count == 0:
+        if self._pending.count == 0 and not self._pack_jobs:
             return True
         self._ensure_buf()
-        space = self._cap - self._fill
-        take = min(self._pending.count, space, self._batch_cap)
-        sw = StopWatch()
-        chunks = self._pending.pop(take)
+        progressed = self._submit_packs(drain)
+        # Opportunistic dispatch — the reference's poll-then-fold Update()
+        # loop (Mappings.cpp:320-349, SHA-256vk.cpp:318-335): consume a
+        # completed pack job without blocking; block on the head job only
+        # when the pipeline needs its slot (queue at depth), when nothing
+        # else progressed this call (callers' drain loops require
+        # progress to terminate), or when draining.
+        while self._pack_jobs:
+            must = (
+                drain
+                or len(self._pack_jobs) >= max(1, self.config.pack_ahead)
+                or not progressed
+            )
+            if not must and not self._pack_jobs[0].future.done():
+                break
+            if not self._dispatch_job(self._pack_jobs.popleft()):
+                return False
+            progressed = True
+            # Keep the pack thread busy while control returns to ingest.
+            self._submit_packs(drain)
+            if not drain:
+                break  # one dispatched batch per call (callers loop)
+        return True
+
+    def _dispatch_job(self, job: _PackJob) -> bool:
+        """Consumer half: wait for one pack job's result and dispatch it to
+        the device.  Strictly in submission order, so the producer's planned
+        state stays truthful."""
+        take, group_flush = job.take, job.group_flush
+        # The plan mirrored this exactly at submission; a violation means
+        # producer and consumer state diverged (a bug, not an input case).
+        assert take <= self._cap - self._fill, (take, self._cap, self._fill)
         append = _append_fn()
         every = self.config.stats_sample_every
         done = 0
-        group = (1 << self._group_log2) if self._group_log2 is not None else 0
-        group_flush = (
-            group > 0
-            and take == group
-            and self._fill % group == 0
-            and self._slice_grouped is not False
-        )
         if self._fill == 0:
             self._slice_grouped = group_flush
         # True per-op device time (the QueryPoolTimers.cpp:52-93 role):
-        # every Nth flush, pre-pack on the host, drain the async queue, then
-        # bracket ONLY the flush's device work (dispatch -> completion) with
-        # tiny-readback syncs.  Round 3 started the bracket before packing,
-        # so short-leaf "map_device" read pack-bound, ~100x under the true
-        # device rate (VERDICT r3 #3).  Bracketing the whole flush amortizes
-        # the sync round-trip over up to batch_cap leaves.
+        # every Nth flush, drain the async queue, then bracket ONLY the
+        # flush's device work (dispatch -> completion) with tiny-readback
+        # syncs.  Round 3 started the bracket before packing, so short-leaf
+        # "map_device" read pack-bound, ~100x under the true device rate
+        # (VERDICT r3 #3).  Bracketing the whole flush amortizes the sync
+        # round-trip over up to batch_cap leaves.
         self._map_ops += 1
         sample = every and self._map_ops % every == 0
         try:
-            if group_flush:
-                data, offs, lens = self._merge_chunks(chunks)
-                perm = self._rev_group
-                packed = pack_spans(
-                    data, offs[perm], lens[perm], self.config.device_max_blocks
-                )
-                work = [(packed, int(lens.sum()))]
-            else:
-                work = []
-                for data, offs, lens in chunks:
-                    work.append(
-                        (
-                            pack_spans(data, offs, lens, self.config.device_max_blocks),
-                            int(lens.sum()),
-                        )
-                    )
-            t_pack = sw.Elapsed()
-            self.times.add("pack", t_pack, sum(b for _, b in work), throughput=True)
-            sw.Start()
+            work, t_pack = job.future.result()
+        except MemoryError:
+            # Host allocation failed inside the packer: nothing reached the
+            # device; put everything back and let AddSpans fail soft.
+            if self._fill == 0:
+                self._slice_grouped = None
+            self._requeue_jobs(job.chunks)
+            raise
+        self._inflight_nbytes -= job.nbytes
+        # t_pack is the pack thread's own wall interval — genuine packing
+        # throughput even when it overlapped device work.
+        self.times.add("pack", t_pack, job.nbytes, throughput=True)
+        sw = StopWatch()
+        try:
             if sample:
                 rtt = self._measure_sync_rtt()
                 np.asarray(self._buf[0, :1])  # drain any async backlog (untimed)
@@ -682,10 +854,12 @@ class TpuSha256D(Sha256dEngine):
             if not _is_oom(exc):
                 raise
             # A grouped flush is one merged work unit covering ALL chunks.
-            consumed = len(chunks) if (group_flush and done) else done
-            self._pending.push_front(chunks[consumed:])
+            consumed = len(job.chunks) if (group_flush and done) else done
             if self._fill == 0:
                 self._slice_grouped = None  # first append failed: undecided
+            # Return this job's remainder AND every queued pack job to the
+            # pending head (stream order), resyncing the planned state.
+            self._requeue_jobs(job.chunks[consumed:])
             # The appends donate the slice buffer and errors surface
             # asynchronously, so an OOM raised here may belong to an
             # *earlier* chunk's computation — in which case the buffer
@@ -754,13 +928,26 @@ class TpuSha256D(Sha256dEngine):
             self._journal_materialized()
         return True
 
+    def Drain(self) -> bool:
+        """Dispatch everything ingested so far to the device: the pending
+        FIFO and the pack-ahead queue are fully consumed (device work may
+        still be in flight asynchronously).  ``Root()`` drains implicitly;
+        this is the explicit ``Flush`` surface (SHA-256vk.cpp:348-429
+        analog) for callers that need the device pipeline fed without
+        finalizing.  Returns False on device OOM at the minimum batch size
+        (fail soft, like Add)."""
+        while self._pending.count > 0 or self._pack_jobs:
+            if not self._flush_some(drain=True):
+                return False
+        return True
+
     # -- finalization ------------------------------------------------------
 
     def Root(self) -> str:
         from ..ops.tree_reduce import merkle_root_of_digest_cols, slice_root
 
-        while self._pending.count > 0:
-            if not self._flush_some():
+        while self._pending.count > 0 or self._pack_jobs:
+            if not self._flush_some(drain=True):
                 raise RuntimeError(
                     "device out of memory during finalization (batch cap "
                     f"exhausted at {self._batch_cap} leaves)"
@@ -790,6 +977,15 @@ class TpuSha256D(Sha256dEngine):
                 self._tail_done = True
         if not self._roots:
             return ""
+        live = [i for i, r in enumerate(self._roots) if not isinstance(r, bytes)]
+        if len(live) > 1:
+            # Materialize every outstanding device root in ONE readback: a
+            # per-root np.asarray pays one transport round-trip each (~35 ms
+            # through the development tunnel), serializing the finalize on
+            # RTT x slices.
+            stacked = np.asarray(self._jnp.stack([self._roots[i] for i in live]))
+            for j, i in enumerate(live):
+                self._roots[i] = words_to_digest(stacked[j])
         roots = [
             r if isinstance(r, bytes) else words_to_digest(np.asarray(r)) for r in self._roots
         ]
@@ -834,6 +1030,17 @@ class TpuSha256D(Sha256dEngine):
         return path + oracle.merkle_proof_of_digests(roots, s)
 
     def Reset(self) -> bool:
+        # Settle any in-flight pack jobs before dropping them (the worker
+        # may still be reading their chunk buffers).
+        while self._pack_jobs:
+            job = self._pack_jobs.popleft()
+            try:
+                job.future.result()
+            except BaseException:
+                pass
+        self._inflight_nbytes = 0
+        self._plan_fill = 0
+        self._plan_grouped = None
         self._buf = None
         self._fill = 0
         self._slice_grouped = None

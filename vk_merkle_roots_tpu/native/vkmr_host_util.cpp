@@ -35,14 +35,23 @@ inline void pad_row(uint8_t* rb, const uint8_t* src, int64_t len, int64_t end,
 // Write one 16-leaf group into the tile-major wire format: word w of group
 // row j lands at out[w*1024 + j] (caller passes out pre-offset to the
 // group's tile/lane base).  `rows` is 16 contiguous little-endian padded
-// rows of W words.  The naive per-word scatter wrote single u32s at 4 KB
-// stride — every store mapped to the SAME L1 set (stride 4096 fixes the
-// set-index bits), thrashing the 8-way set and pushing each store to L2 —
-// so instead we transpose 16 rows at a time and emit every 64-byte output
-// line exactly once, full, with a streaming store when alignment allows.
+// rows of W words.  Store-strategy history, all measured on this VM:
+//   * naive per-word scatter: single u32 stores at 4 KB stride — every
+//     store mapped to the SAME L1 set, thrashing the 8-way set (~10x slow);
+//   * 8x8 transpose with INTERLEAVED strided NT stores (round 2-4): the 16
+//     half-line NT stores per block, interleaved with the transpose loads,
+//     keep ~8 write-combining buffers open across 4 KB-strided lines and
+//     throttle to ~3.3 GB/s/core isolated, ~1.5 in situ — the NT stores,
+//     not the shuffles, were the packer's real bottleneck;
+//   * TWO-PHASE (current): transpose the whole group into a (W,16) u32
+//     L1-resident stage, then sweep it out with one full-line NT store per
+//     output line, no loads interleaved — 10.8 GB/s/core isolated, ~2.8x
+//     the old in-situ packer rate (plain strided stores measured slightly
+//     faster still, 12.7, but pay RFO reads and evict half of L2 per
+//     batch; NT keeps the 12 MB/batch output out of the caches).
 #if defined(__AVX2__)
-inline void transpose8x8_store(const uint8_t* rows, int64_t pitch, int64_t w,
-                               uint32_t* out, int jg, bool stream) {
+inline void transpose8x8_stage(const uint8_t* rows, int64_t pitch, int64_t w,
+                               uint32_t* stage, int jg) {
   const __m256i bswap = _mm256_setr_epi8(
       3, 2, 1, 0, 7, 6, 5, 4, 11, 10, 9, 8, 15, 14, 13, 12,
       3, 2, 1, 0, 7, 6, 5, 4, 11, 10, 9, 8, 15, 14, 13, 12);
@@ -66,42 +75,48 @@ inline void transpose8x8_store(const uint8_t* rows, int64_t pitch, int64_t w,
   u[5] = _mm256_unpackhi_epi64(t[4], t[6]);
   u[6] = _mm256_unpacklo_epi64(t[5], t[7]);
   u[7] = _mm256_unpackhi_epi64(t[5], t[7]);
-  static const int lo[4] = {0, 1, 2, 3};
   for (int k = 0; k < 4; ++k) {
-    __m256i a = _mm256_permute2x128_si256(u[lo[k]], u[4 + lo[k]], 0x20);
-    __m256i b = _mm256_permute2x128_si256(u[lo[k]], u[4 + lo[k]], 0x31);
-    uint32_t* pa = out + (w + k) * 1024 + jg;
-    uint32_t* pb = out + (w + 4 + k) * 1024 + jg;
-    if (stream) {
-      _mm256_stream_si256(reinterpret_cast<__m256i*>(pa), a);
-      _mm256_stream_si256(reinterpret_cast<__m256i*>(pb), b);
-    } else {
-      _mm256_storeu_si256(reinterpret_cast<__m256i*>(pa), a);
-      _mm256_storeu_si256(reinterpret_cast<__m256i*>(pb), b);
-    }
+    __m256i a = _mm256_permute2x128_si256(u[k], u[4 + k], 0x20);
+    __m256i b = _mm256_permute2x128_si256(u[k], u[4 + k], 0x31);
+    _mm256_store_si256(reinterpret_cast<__m256i*>(stage + (w + k) * 16 + jg), a);
+    _mm256_store_si256(reinterpret_cast<__m256i*>(stage + (w + 4 + k) * 16 + jg), b);
   }
 }
 #endif
 
+// `stage` is a 64-byte-aligned (W_max, 16) u32 thread-local scratch.
 inline void transpose_group16(const uint8_t* rows, int64_t pitch, int64_t W,
-                              uint32_t* out) {
+                              uint32_t* out, uint32_t* stage) {
   int64_t w = 0;
 #if defined(__AVX2__)
-  const bool stream = (reinterpret_cast<uintptr_t>(out) & 31) == 0;
   for (; w + 8 <= W; w += 8) {
-    transpose8x8_store(rows, pitch, w, out, 0, stream);
-    transpose8x8_store(rows, pitch, w, out, 8, stream);
+    transpose8x8_stage(rows, pitch, w, stage, 0);
+    transpose8x8_stage(rows, pitch, w, stage, 8);
   }
 #endif
   for (; w < W; ++w) {
-    uint32_t line[16];
+    uint32_t* line = stage + w * 16;
     for (int j = 0; j < 16; ++j) {
       uint32_t v;
       std::memcpy(&v, rows + j * pitch + w * 4, 4);
       line[j] = __builtin_bswap32(v);
     }
-    std::memcpy(out + w * 1024, line, 64);
   }
+#if defined(__AVX2__)
+  if ((reinterpret_cast<uintptr_t>(out) & 31) == 0) {
+    // NT sweep: every output line written once, whole, with no loads
+    // interleaved from beyond L1 (the stage is hot).
+    for (int64_t v = 0; v < W; ++v) {
+      __m256i a = _mm256_load_si256(reinterpret_cast<const __m256i*>(stage + v * 16));
+      __m256i b = _mm256_load_si256(reinterpret_cast<const __m256i*>(stage + v * 16 + 8));
+      _mm256_stream_si256(reinterpret_cast<__m256i*>(out + v * 1024), a);
+      _mm256_stream_si256(reinterpret_cast<__m256i*>(out + v * 1024 + 8), b);
+    }
+    return;
+  }
+#endif
+  for (int64_t v = 0; v < W; ++v)
+    std::memcpy(out + v * 1024, stage + v * 16, 64);
 }
 
 // Shared driver for both packers: pad leaves 16 at a time into contiguous
@@ -120,6 +135,10 @@ void pack_tiles_grouped(const uint8_t* data, const int64_t* offsets,
 #pragma omp parallel
   {
     std::vector<uint8_t> scratch(size_t(16 * pitch_bytes));
+    // 64-byte-aligned (words_per, 16) u32 stage for the two-phase store.
+    std::vector<uint32_t> stagebuf(size_t(words_per * 16) + 16);
+    uint32_t* stage = reinterpret_cast<uint32_t*>(
+        (reinterpret_cast<uintptr_t>(stagebuf.data()) + 63) & ~uintptr_t(63));
 #pragma omp for schedule(dynamic, 8)
     for (int64_t g = 0; g < ngroups; ++g) {
       const int64_t r0 = g * 16;
@@ -141,7 +160,7 @@ void pack_tiles_grouped(const uint8_t* data, const int64_t* offsets,
         std::memset(scratch.data() + cnt * pitch_bytes, 0,
                     size_t((16 - cnt) * pitch_bytes));
       uint32_t* base = out + (r0 >> 10) * words_per * 1024 + (r0 & 1023);
-      transpose_group16(scratch.data(), pitch_bytes, group_w, base);
+      transpose_group16(scratch.data(), pitch_bytes, group_w, base, stage);
     }
 #if defined(__AVX2__)
     // Each thread drains its own write-combining buffers before reaching
