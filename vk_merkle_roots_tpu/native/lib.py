@@ -21,7 +21,32 @@ _SO = os.path.join(_DIR, "libvkmr_native.so")
 
 
 @lru_cache(maxsize=1)
+def tune_host_allocator() -> bool:
+    """Keep large freed staging buffers in the malloc arena instead of
+    returning them to the kernel.  Every packed flush allocates a fresh
+    ~12 MB wire-format buffer; with glibc defaults that is a fresh mmap
+    (M_MMAP_THRESHOLD=128 KB) whose first-touch page faults cost 7x the
+    packing work itself (measured: 8.5 ms faulting vs 1.2 ms packing for a
+    2^16 x 127 B batch).  Raising M_MMAP_THRESHOLD alone does not help —
+    the arena top gets trimmed back on free (M_TRIM_THRESHOLD) and faults
+    return — so both knobs move together: measured 8.5 -> 2.6 ms per batch
+    (3.2 GB/s payload).  Cost: RSS stays at the staging high-water mark
+    (bounded by host_pending_bytes + pack-ahead depth).  Set
+    VKMR_NO_MALLOPT=1 to keep glibc defaults."""
+    if os.environ.get("VKMR_NO_MALLOPT"):
+        return False
+    try:
+        libc = ctypes.CDLL("libc.so.6", use_errno=True)
+        ok = libc.mallopt(-3, 256 << 20) == 1  # M_MMAP_THRESHOLD
+        ok = libc.mallopt(-1, 1 << 30) == 1 and ok  # M_TRIM_THRESHOLD
+        return ok
+    except Exception:
+        return False
+
+
+@lru_cache(maxsize=1)
 def _load():
+    tune_host_allocator()  # the packer path allocates a large buffer per flush
     if not os.path.exists(_SO):
         try:
             subprocess.run(
