@@ -130,3 +130,15 @@ def test_sharded_flag_requires_mesh_engine():
     assert b"--sharded requires the MESH engine" in r.stderr
     r2 = _run_cli(["MESH", "--sharded", "--slice-log2", "13"], b"a\nb\nc\n")
     assert r2.returncode == 0, r2.stderr.decode()
+
+
+def test_auto_host_pending_bytes_discovery():
+    """The staging budget is DISCOVERED from /proc/meminfo (MaxBatchCount
+    analog, Batches.cpp:294-331), clamped to [64 MB, cap]."""
+    from vk_merkle_roots_tpu.config import auto_host_pending_bytes
+
+    b = auto_host_pending_bytes()
+    assert (64 << 20) <= b <= (1 << 30)
+    # Fraction scales the answer (same MemAvailable read).
+    half = auto_host_pending_bytes(max_fraction=0.125)
+    assert half <= b

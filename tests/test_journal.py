@@ -128,6 +128,71 @@ def test_proof_after_resume_guard(rng, tmp_path):
     assert oracle.verify_proof(oracle.leaf_hash(leaves[idx]), path).hex() == want
 
 
+def test_proof_across_resume_with_digest_sidecar(rng, tmp_path):
+    """keep_digests + journaling persists per-slice digest sidecars;
+    resuming with them restores Proof() for the journaled prefix
+    (VERDICT r4 next-round #7): journal, resume, prove a pre-resume leaf,
+    verify against the stream root."""
+    from vk_merkle_roots_tpu.models.tpu import load_digest_sidecars
+
+    leaves = random_leaves(rng, 200, maxlen=40)
+    cfg = _cfg(tmp_path, keep_digests=True)
+    e = TpuSha256D(name="js", config=cfg)
+    e.AddMany(leaves)
+    want = e.Root()
+    assert want == oracle.merkle_root(leaves).hex()
+
+    roots = [bytes.fromhex(json.loads(l)["root"]) for l in open(cfg.journal_path)]
+    assert len(roots) == 3
+    digests = load_digest_sidecars(cfg.journal_path, roots, 64)
+    assert digests is not None and len(digests) == 3
+
+    e2 = TpuSha256D(
+        name="js2", config=EngineConfig(slice_log2=6, backend="xla", keep_digests=True)
+    )
+    e2.PreloadSliceRoots(roots, digests=digests)
+    e2.AddMany(leaves[192:])
+    assert e2.Root() == want
+    # Leaves from every region: journaled slices 0-2 AND the live tail.
+    for idx in (0, 10, 63, 64, 150, 193, 199):
+        path = e2.Proof(idx)
+        assert oracle.verify_proof(oracle.leaf_hash(leaves[idx]), path).hex() == want
+
+
+def test_digest_sidecar_corruption_refuses(rng, tmp_path):
+    """A sidecar that no longer reduces to its journaled root must raise,
+    never silently mis-prove."""
+    from vk_merkle_roots_tpu.models.tpu import load_digest_sidecars
+
+    leaves = random_leaves(rng, 100, maxlen=30)
+    cfg = _cfg(tmp_path, keep_digests=True)
+    e = TpuSha256D(name="jc", config=cfg)
+    e.AddMany(leaves)
+    e.Root()
+    roots = [bytes.fromhex(json.loads(l)["root"]) for l in open(cfg.journal_path)]
+    side = f"{cfg.journal_path}.digests.0.npy"
+    d = np.load(side)
+    d[3, 0] ^= 1
+    np.save(side, d)
+    with pytest.raises(ValueError, match="stale or corrupted"):
+        load_digest_sidecars(cfg.journal_path, roots, 64)
+
+
+def test_digest_sidecar_missing_degrades_to_root_only(rng, tmp_path):
+    """Missing sidecar files (e.g. a pre-round-5 journal) return None and
+    the resume proceeds root-only with the loud Proof refusal."""
+    from vk_merkle_roots_tpu.models.tpu import load_digest_sidecars
+
+    leaves = random_leaves(rng, 100, maxlen=30)
+    cfg = _cfg(tmp_path, keep_digests=True)
+    e = TpuSha256D(name="jm", config=cfg)
+    e.AddMany(leaves)
+    e.Root()
+    roots = [bytes.fromhex(json.loads(l)["root"]) for l in open(cfg.journal_path)]
+    os.unlink(f"{cfg.journal_path}.digests.0.npy")
+    assert load_digest_sidecars(cfg.journal_path, roots, 64) is None
+
+
 def test_journal_records_integrity_fields(rng, tmp_path):
     """Journal records carry the cumulative byte count and running stream
     SHA-256 so resume can detect a different/perturbed input."""

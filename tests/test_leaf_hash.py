@@ -155,3 +155,39 @@ def test_stream_counts_do_not_mint_compiled_shapes(rng):
     hash_n(7)
     hash_n(11)
     assert _stream_bucket_hashes._cache_size() == before
+
+
+def test_kernel_debug_hook_emits_and_gates(monkeypatch, capfd):
+    """kdebug.emit prints from inside a Pallas kernel when
+    VKMR_KERNEL_DEBUG is set and is a trace-time no-op otherwise.  A tiny
+    custom kernel keeps this off the (uselessly slow) interpret path of the
+    real SHA kernels; the hook WIRING in those kernels is exercised
+    compiled on hardware by test_tpu_onchip.py::test_kernel_debug_on_chip."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+
+    from vk_merkle_roots_tpu.ops import kdebug
+
+    def body(x_ref, o_ref):
+        v = x_ref[...]
+        kdebug.emit("kdebug_probe", v[0, 0])
+        o_ref[...] = v + 1
+
+    def run():
+        x = jnp.full((8, 128), 41, jnp.uint32)
+        return pl.pallas_call(
+            body,
+            out_shape=jax.ShapeDtypeStruct((8, 128), jnp.uint32),
+            interpret=True,
+        )(x)
+
+    monkeypatch.delenv("VKMR_KERNEL_DEBUG", raising=False)
+    assert int(np.asarray(run())[0, 0]) == 42
+    quiet = capfd.readouterr()
+    assert "kdebug_probe" not in quiet.out + quiet.err
+
+    monkeypatch.setenv("VKMR_KERNEL_DEBUG", "1")
+    assert int(np.asarray(run())[0, 0]) == 42
+    loud = capfd.readouterr()
+    assert "kdebug_probe" in loud.out + loud.err

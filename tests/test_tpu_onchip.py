@@ -203,3 +203,35 @@ def test_engine_stats_match_bench_rates():
         check_rates(run())
     except AssertionError:
         check_rates(run())
+
+
+@requires_tpu
+def test_kernel_debug_on_chip():
+    """The VKMR_KERNEL_DEBUG hooks compile through Mosaic and leave digests
+    byte-exact (fresh subprocess: the flag is read at trace time; the
+    debug-instrumented kernel is a distinct compiled program).  Output
+    lands in the TPU runtime's log stream, so only correctness is asserted
+    here — the CPU-side print path is covered in test_leaf_hash.py."""
+    import subprocess
+    import sys
+
+    code = (
+        "import numpy as np\n"
+        "from vk_merkle_roots_tpu import oracle\n"
+        "from vk_merkle_roots_tpu.packing import pack_leaves\n"
+        "from vk_merkle_roots_tpu.ops.leaf_hash import leaf_hashes\n"
+        "leaves = [bytes([65 + i]) * (i + 1) for i in range(40)]\n"
+        "packed = pack_leaves(leaves)\n"
+        "digs = np.asarray(leaf_hashes(packed, backend='pallas')).T[:40]\n"
+        "want = [oracle.leaf_hash(x) for x in leaves]\n"
+        "got = [d.astype('>u4').tobytes() for d in digs]\n"
+        "assert got == want, 'debug-instrumented kernel diverged'\n"
+        "print('ONCHIP_DEBUG_OK')\n"
+    )
+    env = dict(os.environ, VKMR_KERNEL_DEBUG="1")
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, env=env,
+        timeout=900, cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert out.returncode == 0, out.stderr[-3000:]
+    assert "ONCHIP_DEBUG_OK" in out.stdout

@@ -107,6 +107,30 @@ def auto_slice_log2(max_fraction: float = 0.125, default: int = 20, cap: int = 2
     return min(k, cap)
 
 
+def auto_host_pending_bytes(
+    max_fraction: float = 0.25, default: int = 256 << 20, cap: int = 1 << 30
+) -> int:
+    """Discover the host staging budget from actually-available memory —
+    the role of the reference's ``MaxBatchCount``, which sums
+    heapSize/batchSize over the driver-reported host-visible heaps
+    (``/root/reference/src/vkmr/Batches.cpp:294-331``) rather than
+    declaring a policy number.  Reads ``MemAvailable`` from /proc/meminfo
+    (kernel's estimate of allocatable-without-swapping memory) and budgets
+    ``max_fraction`` of it for the pending-leaves queue + pack-ahead
+    buffers, clamped to [64 MB, cap].  Falls back to the declared default
+    off Linux."""
+    try:
+        with open("/proc/meminfo") as fh:
+            for line in fh:
+                if line.startswith("MemAvailable:"):
+                    kb = int(line.split()[1])
+                    budget = int(kb * 1024 * max_fraction)
+                    return max(64 << 20, min(budget, cap))
+    except OSError:
+        pass
+    return default
+
+
 def enable_persistent_cache(path: str | None = None) -> None:
     """Turn on JAX's persistent compilation cache so kernel compiles are
     paid once per machine, not once per process (the role the reference's

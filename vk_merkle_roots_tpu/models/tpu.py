@@ -180,6 +180,41 @@ class _InlinePack:
         return True  # "ready": executes on the caller's thread at result()
 
 
+def load_digest_sidecars(journal_path: str, roots: list[bytes], cap: int):
+    """Load and VERIFY the per-slice digest sidecars for a journal resume.
+
+    Returns one (cap, 8) uint32 array per journaled root for
+    ``PreloadSliceRoots(digests=...)``, or None when any sidecar file is
+    missing (the resume then proceeds root-only and ``Proof()`` refuses for
+    the prefix).  Every sidecar is reduced and checked against its journal
+    root — a stale or tampered sidecar raises instead of mis-proving."""
+    import os
+
+    digests = []
+    for i, root in enumerate(roots):
+        path = f"{journal_path}.digests.{i}.npy"
+        if not os.path.exists(path):
+            return None
+        d = np.load(path)
+        if d.shape != (cap, 8):
+            raise ValueError(
+                f"digest sidecar {path} has shape {d.shape}, want {(cap, 8)}"
+            )
+        rows = np.ascontiguousarray(d.astype(">u4")).view(np.uint8).reshape(cap, 32)
+        from ..native.lib import native_merkle_root
+
+        got = native_merkle_root(rows)
+        if got is None:
+            got = oracle.merkle_root_of_digests([rows[j].tobytes() for j in range(cap)])
+        if got != root:
+            raise ValueError(
+                f"digest sidecar {path} does not reduce to the journaled "
+                f"slice root (stale or corrupted); refusing"
+            )
+        digests.append(np.asarray(d, np.uint32))
+    return digests
+
+
 class TpuSha256D(Sha256dEngine):
     """Streaming SHA-256d Merkle-root engine on a JAX device."""
 
@@ -228,6 +263,7 @@ class TpuSha256D(Sha256dEngine):
         self._count = 0
         self._bytes = 0
         self._slice_digests: list[np.ndarray] = []  # kept when keep_digests
+        self._digests_base = 0  # slice number of _slice_digests[0]
         self._journaled = 0  # completed-slice roots already written out
         self._preloaded = 0  # slices adopted from a journal (no digests held)
         self._full_slices = 0  # slices completed at full capacity
@@ -292,13 +328,17 @@ class TpuSha256D(Sha256dEngine):
         leaves_per_root: int | None = None,
         stream_sha=None,
         stream_bytes: int = 0,
+        digests: list[np.ndarray] | None = None,
     ) -> None:
         """Seed the engine with already-computed full-slice roots (resume
         from a journal): subsequent input continues at the next slice.
         ``leaves_per_root`` defaults to the slice capacity.  ``stream_sha``
         (a primed ``hashlib.sha256`` covering the skipped stream prefix) and
         ``stream_bytes`` let the resumed engine continue the journal's
-        integrity chain; the CLI computes them while skipping."""
+        integrity chain; the CLI computes them while skipping.  ``digests``
+        (one (leaves, 8) uint32 natural-order array per root, from the
+        keep_digests sidecar) restores ``Proof()`` coverage for the
+        journaled prefix — without it, proofs for preloaded slices refuse."""
         if self._count or self._roots:
             raise RuntimeError("PreloadSliceRoots requires a fresh engine")
         per = leaves_per_root or self._cap
@@ -307,6 +347,12 @@ class TpuSha256D(Sha256dEngine):
         self._preloaded = len(roots)
         self._full_slices = len(roots)
         self._count = per * len(roots)
+        self._digests_base = len(roots)
+        if digests is not None:
+            if len(digests) != len(roots):
+                raise ValueError("digest sidecar count != journaled root count")
+            self._slice_digests = [np.asarray(d, np.uint32) for d in digests]
+            self._digests_base = 0
         if stream_sha is not None:
             self._stream_sha = stream_sha
         self._stream_bytes = stream_bytes
@@ -356,6 +402,17 @@ class TpuSha256D(Sha256dEngine):
                     self._stream_sha.hexdigest(),
                 )
             i = j
+
+    def _save_digest_sidecar(self, idx: int, digs: np.ndarray) -> None:
+        """Persist a completed slice's natural-order digests next to the
+        journal (``<journal>.digests.<idx>.npy``) so ``Proof()`` survives a
+        journal resume instead of refusing for the journaled prefix
+        (VERDICT r4 next-round #7).  Written only when BOTH keep_digests
+        and journaling are on; a sidecar without its journal row is
+        harmless (rewritten on rerun)."""
+        if not (self.config.journal_path and self.config.keep_digests):
+            return
+        np.save(f"{self.config.journal_path}.digests.{idx}.npy", digs)
 
     def _journal_materialized(self) -> None:
         """Append any newly materialized (host-side) slice roots, in slice
@@ -419,7 +476,10 @@ class TpuSha256D(Sha256dEngine):
             # the tail over old + new leaves.
             if len(self._roots) > self._full_slices:
                 self._roots.pop()
-            if self.config.keep_digests and len(self._slice_digests) > self._full_slices:
+            if (
+                self.config.keep_digests
+                and len(self._slice_digests) > self._full_slices - self._digests_base
+            ):
                 self._slice_digests.pop()
             self._tail_done = False
         try:
@@ -884,7 +944,9 @@ class TpuSha256D(Sha256dEngine):
         if self._fill == self._cap:
             sw.Start()
             if self.config.keep_digests:
-                self._slice_digests.append(self._host_natural_digests(self._cap))
+                digs_host = self._host_natural_digests(self._cap)
+                self._slice_digests.append(digs_host)
+                self._save_digest_sidecar(self._full_slices, digs_host)
             self._reduce_ops += 1
             # Slices are ~batch_count x rarer than maps: denser cadence.
             sample = every and self._reduce_ops % max(1, every // 8) == 0
@@ -1010,18 +1072,18 @@ class TpuSha256D(Sha256dEngine):
         from ..utils.hexutil import words_to_digest as w2d
 
         s, local = divmod(index, self._cap)
-        if s < self._preloaded:
-            # Journal-adopted slices carry only their roots; the per-leaf
-            # digests needed for a within-slice path were computed by the
-            # original process and never reloaded.  Refuse loudly instead of
-            # indexing this run's digests with an absolute slice number.
+        if s < self._digests_base:
+            # Journal-adopted slices carry only their roots unless the
+            # digest sidecar was reloaded (PreloadSliceRoots digests=...).
+            # Refuse loudly instead of indexing this run's digests with an
+            # absolute slice number.
             raise RuntimeError(
                 f"proof unavailable for leaf {index}: slice {s} was resumed "
-                f"from a journal (only its root is known)"
+                f"from a journal without its digest sidecar"
             )
-        digs = self._slice_digests[s - self._preloaded]
+        digs = self._slice_digests[s - self._digests_base]
         rows = [w2d(digs[i]) for i in range(digs.shape[0])]
-        if self._preloaded + len(self._slice_digests) == 1:
+        if self._digests_base + len(self._slice_digests) == 1:
             return oracle.merkle_proof_of_digests(rows, local)
         path = oracle.merkle_proof_of_digests(rows, local, height=self.config.slice_log2)
         roots = [
@@ -1049,6 +1111,7 @@ class TpuSha256D(Sha256dEngine):
         self._count = 0
         self._bytes = 0
         self._slice_digests = []
+        self._digests_base = 0
         self._journaled = 0
         self._preloaded = 0
         self._full_slices = 0

@@ -45,7 +45,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..constants import TILE, TILE_LANE, TILE_SUB
 from ..utils.bitmath import pow2_env
 from ..packing import PackedLeaves, quantized_tiles
-from . import sha256_core
+from . import kdebug, sha256_core
 
 # Tiles hashed per mapping grid step (see module docstring).  Swept on-chip:
 # 4 -> 56.3 GB/s, 8 -> 56.2, 16 -> 48.6 (VMEM pressure); override with
@@ -67,6 +67,7 @@ def _leaf_kernel(x_ref, o_ref, *, nblocks: int):
         w16 = [x_ref[:, b * 16 + t] for t in range(16)]
         state = sha256_core.compress(state, w16)
     state = sha256_core.finalize_sha256d(state)
+    kdebug.emit("leaf_kernel d0[lane0]", state[0][0, 0, 0])
     for j in range(8):
         o_ref[j] = state[j]
 
@@ -148,6 +149,7 @@ def _stream_kernel(x_ref, c_ref, o_ref, state_ref, *, nsteps: int):
     @pl.when(b == nsteps - 1)
     def _finalize():
         out = sha256_core.finalize_sha256d(tuple(state_ref[j] for j in range(8)))
+        kdebug.emit("stream_kernel d0[lane0]", out[0][0, 0])
         for j in range(8):
             o_ref[j, 0] = out[j]
 

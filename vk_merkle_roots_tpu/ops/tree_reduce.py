@@ -56,7 +56,7 @@ from .. import oracle
 from ..constants import TILE, TILE_LANE, TILE_SUB
 from ..utils.bitmath import bit_reverse_indices, ceil_log2, pow2_env
 from ..utils.hexutil import words_to_digest
-from . import sha256_core
+from . import kdebug, sha256_core
 
 
 def _use_interpret() -> bool:
@@ -95,6 +95,7 @@ def _fold_kernel(l_ref, r_ref, o_ref):
     left = tuple(l_ref[j] for j in range(8))
     right = tuple(r_ref[j] for j in range(8))
     out = sha256_core.node_hash_words(left, right)
+    kdebug.emit("fold_kernel d0[lane0]", out[0][0, 0, 0])
     for j in range(8):
         o_ref[j] = out[j]
 
@@ -177,6 +178,7 @@ def _tail_kernel(x_ref, o_ref, *, log2n: int):
             right = tuple(w[:, cols // 2 :] for w in words)
             cols //= 2
         words = list(sha256_core.node_hash_words(left, right))
+    kdebug.emit("tail_kernel root_word0", words[0][0, 0])
     for j in range(8):
         o_ref[j] = jnp.broadcast_to(words[j][:1, :1], (1, TILE_LANE))
 
