@@ -275,3 +275,23 @@ def test_tiny_budgets_fuzz(rng):
         for i in range(0, n, step):
             assert e.AddMany(leaves[i : i + step])
         assert e.Root() == oracle.merkle_root(leaves).hex(), f"trial {trial}: {cfg}"
+
+
+@pytest.mark.parametrize("depth", [0, 1, 3])
+def test_pack_ahead_depths_match_oracle(rng, depth):
+    """The flush pipeline must be depth-invariant: inline (0), single
+    (1), and deep (3) pack-ahead all produce the oracle root over a
+    multi-slice stream with ragged tail and mixed chunk sizes."""
+    leaves = random_leaves(rng, 700, maxlen=60)
+    e = TpuSha256D(
+        name="pa",
+        config=EngineConfig(
+            slice_log2=7, batch_leaves=64, backend="xla", pack_ahead=depth
+        ),
+    )
+    for lo in range(0, 700, 37):  # chunks straddle batch/slice boundaries
+        assert e.AddMany(leaves[lo : lo + 37])
+    assert e.Root() == oracle.merkle_root(leaves).hex()
+    assert e.Reset()
+    assert e.AddMany(leaves[:10])
+    assert e.Root() == oracle.merkle_root(leaves[:10]).hex()

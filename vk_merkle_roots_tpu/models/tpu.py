@@ -253,6 +253,8 @@ class TpuSha256D(Sha256dEngine):
         self._fill = 0
         self._roots: list = []  # device (8,) arrays OR host bytes, slice order
         self._pending = _PendingLeaves()
+        self._addbuf: list[bytes] = []  # per-leaf Add() coalescing buffer
+        self._addbuf_bytes = 0
         # Pack-ahead pipeline: batches packed on a background thread ahead
         # of dispatch, plus the planned slice state the producer side uses
         # (mirrors _fill/_slice_grouped as the queued jobs will evolve them).
@@ -447,11 +449,31 @@ class TpuSha256D(Sha256dEngine):
 
     # -- ingest ------------------------------------------------------------
 
+    _ADDBUF_LEAVES = 4096
+    _ADDBUF_BYTES = 4 << 20
+
     def Add(self, data: bytes) -> bool:
+        """Per-leaf ingest.  Leaves buffer until a reservation-sized run
+        (the reference buffers strings the same way, SHA-256vk.cpp:338-345)
+        so the span pipeline sees consolidated chunks instead of one-leaf
+        chunks — a group flush would otherwise merge O(batch) tiny chunks
+        in a Python loop per flush."""
         if len(data) > MAX_LEAF_BYTES:
             return False
-        arr = np.frombuffer(data, dtype=np.uint8)
-        return self.AddSpans(arr, np.zeros(1, np.int64), np.array([len(data)], np.int64))
+        self._addbuf.append(data)
+        self._addbuf_bytes += len(data)
+        if (
+            len(self._addbuf) >= self._ADDBUF_LEAVES
+            or self._addbuf_bytes >= self._ADDBUF_BYTES
+        ):
+            return self._flush_addbuf()
+        return True
+
+    def _flush_addbuf(self) -> bool:
+        if not self._addbuf:
+            return True
+        leaves, self._addbuf, self._addbuf_bytes = self._addbuf, [], 0
+        return self.AddMany(leaves)
 
     def AddMany(self, leaves) -> bool:
         leaves = list(leaves)
@@ -467,6 +489,8 @@ class TpuSha256D(Sha256dEngine):
     def AddSpans(self, data: np.ndarray, offsets: np.ndarray, lengths: np.ndarray) -> bool:
         """Bulk ingest of (offset, length) spans over one buffer.  Lengths
         must be positive (the CLI filters empty lines, Vkmr.cpp:40-43)."""
+        if self._addbuf and not self._flush_addbuf():
+            return False  # mixed Add()/AddSpans() use keeps stream order
         if lengths.size and int(lengths.max()) > MAX_LEAF_BYTES:
             return False
         if self._tail_done and lengths.size:
@@ -981,14 +1005,39 @@ class TpuSha256D(Sha256dEngine):
             self._slice_grouped = None  # next slice picks its own layout
             self.times.add("reduce_dispatch", sw.Elapsed(), self._cap * 32)
             # Backpressure: bound in-flight roots (block-and-reuse, the
-            # reference's README.md:110-116 TODO).
-            live = [r for r in self._roots if not isinstance(r, bytes)]
-            if len(live) > self.config.max_slices_in_flight:
-                oldest = next(i for i, r in enumerate(self._roots) if not isinstance(r, bytes))
-                self._roots[oldest] = words_to_digest(np.asarray(self._roots[oldest]))
-                event("backpressure_block", slice=oldest + 1)
+            # reference's README.md:110-116 TODO).  Materialize the oldest
+            # HALF in one stacked readback: blocking on the oldest is
+            # unavoidable here, and a per-slice readback would pay one
+            # transport RTT (~35 ms on the dev tunnel) per completed slice
+            # on long streams; batching amortizes it over
+            # max_slices_in_flight/2 slices while the newest half keeps
+            # the pipeline deep.
+            live_idx = [i for i, r in enumerate(self._roots) if not isinstance(r, bytes)]
+            if len(live_idx) > self.config.max_slices_in_flight:
+                take = live_idx[: max(1, len(live_idx) // 2)]
+                self._materialize_roots(take)
+                event("backpressure_block", slices=len(take), through=take[-1] + 1)
             self._journal_materialized()
         return True
+
+    def _materialize_roots(self, take) -> None:
+        """Materialize the given live (device-array) slice roots into host
+        bytes in ONE stacked readback — per-root readbacks pay one
+        transport round-trip each (~35 ms through the development tunnel).
+        Roots may live on different devices (the MESH engine round-robins
+        slice reductions), so they are gathered to the engine's primary
+        device first (32 B each)."""
+        if len(take) == 1:
+            i = take[0]
+            self._roots[i] = words_to_digest(np.asarray(self._roots[i]))
+            return
+        jax = _jax()
+        parts = [self._roots[i] for i in take]
+        if len({getattr(p, "device", None) for p in parts}) > 1:
+            parts = [jax.device_put(p, self._device) for p in parts]
+        stacked = np.asarray(self._jnp.stack(parts))
+        for j, i in enumerate(take):
+            self._roots[i] = words_to_digest(stacked[j])
 
     def Drain(self) -> bool:
         """Dispatch everything ingested so far to the device: the pending
@@ -998,6 +1047,8 @@ class TpuSha256D(Sha256dEngine):
         analog) for callers that need the device pipeline fed without
         finalizing.  Returns False on device OOM at the minimum batch size
         (fail soft, like Add)."""
+        if not self._flush_addbuf():
+            return False
         while self._pending.count > 0 or self._pack_jobs:
             if not self._flush_some(drain=True):
                 return False
@@ -1008,12 +1059,14 @@ class TpuSha256D(Sha256dEngine):
     def Root(self) -> str:
         from ..ops.tree_reduce import merkle_root_of_digest_cols, slice_root
 
-        while self._pending.count > 0 or self._pack_jobs:
-            if not self._flush_some(drain=True):
-                raise RuntimeError(
-                    "device out of memory during finalization (batch cap "
-                    f"exhausted at {self._batch_cap} leaves)"
-                )
+        oom = not self._flush_addbuf()
+        while not oom and (self._pending.count > 0 or self._pack_jobs):
+            oom = not self._flush_some(drain=True)
+        if oom:
+            raise RuntimeError(
+                "device out of memory during finalization (batch cap "
+                f"exhausted at {self._batch_cap} leaves)"
+            )
         sw = StopWatch()
         if self._fill > 0 and self.config.keep_digests and not self._tail_done:
             self._slice_digests.append(self._host_natural_digests(self._fill))
@@ -1040,14 +1093,10 @@ class TpuSha256D(Sha256dEngine):
         if not self._roots:
             return ""
         live = [i for i, r in enumerate(self._roots) if not isinstance(r, bytes)]
-        if len(live) > 1:
-            # Materialize every outstanding device root in ONE readback: a
-            # per-root np.asarray pays one transport round-trip each (~35 ms
-            # through the development tunnel), serializing the finalize on
-            # RTT x slices.
-            stacked = np.asarray(self._jnp.stack([self._roots[i] for i in live]))
-            for j, i in enumerate(live):
-                self._roots[i] = words_to_digest(stacked[j])
+        if live:
+            # Every outstanding device root in ONE readback (per-root
+            # readbacks would serialize the finalize on RTT x slices).
+            self._materialize_roots(live)
         roots = [
             r if isinstance(r, bytes) else words_to_digest(np.asarray(r)) for r in self._roots
         ]
@@ -1108,6 +1157,8 @@ class TpuSha256D(Sha256dEngine):
         self._slice_grouped = None
         self._roots = []
         self._pending = _PendingLeaves()
+        self._addbuf = []
+        self._addbuf_bytes = 0
         self._count = 0
         self._bytes = 0
         self._slice_digests = []
@@ -1124,8 +1175,8 @@ class TpuSha256D(Sha256dEngine):
 
     def Stats(self) -> dict:
         return {
-            "leaves": self._count,
-            "bytes": self._bytes,
+            "leaves": self._count + len(self._addbuf),
+            "bytes": self._bytes + self._addbuf_bytes,
             "slices_completed": self._full_slices,
             "device": str(getattr(self, "_device", "")),
             "stages": self.times.summary(),
