@@ -61,7 +61,7 @@ def _load():
         lib = ctypes.CDLL(_SO)
     except OSError:
         return None
-    if lib.vkmr_native_abi() != 4:
+    if lib.vkmr_native_abi() != 5:
         # Stale build: rebuild, then load the fresh .so through a unique
         # temporary copy — dlopen caches handles by pathname, so re-opening
         # the same path would hand back the already-loaded stale library.
@@ -96,7 +96,7 @@ def _load():
                 RuntimeWarning,
             )
             return None
-        if lib.vkmr_native_abi() != 4:
+        if lib.vkmr_native_abi() != 5:
             return None
     u8p = ctypes.POINTER(ctypes.c_uint8)
     i64p = ctypes.POINTER(ctypes.c_int64)
@@ -105,10 +105,10 @@ def _load():
     lib.vkmr_merkle_root.argtypes = [u8p, ctypes.c_int64, ctypes.c_int32, u8p]
     lib.vkmr_merkle_root.restype = ctypes.c_int32
     lib.vkmr_pack_bucket_tiles.argtypes = [
-        u8p, i64p, i64p, ctypes.c_int64, ctypes.c_int32, u32p
+        u8p, i64p, i64p, ctypes.c_int64, ctypes.c_int32, u32p, ctypes.c_int64
     ]
     lib.vkmr_pack_stream_bucket_tiles.argtypes = [
-        u8p, i64p, i64p, ctypes.c_int64, ctypes.c_int32, u32p
+        u8p, i64p, i64p, ctypes.c_int64, ctypes.c_int32, u32p, ctypes.c_int64
     ]
     lib.vkmr_rndm_stream.argtypes = [
         ctypes.c_uint32,
@@ -145,6 +145,18 @@ def _aligned_zeros(shape, dtype, align=64):
     dtype = np.dtype(dtype)
     count = int(np.prod(shape))
     buf = np.zeros(count * dtype.itemsize + align, np.uint8)
+    off = (-buf.ctypes.data) % align
+    return buf[off : off + count * dtype.itemsize].view(dtype).reshape(shape)
+
+
+def _aligned_empty(shape, dtype, align=64):
+    """Uninitialized aligned ndarray for the ABI-5 packers, which write
+    every output row themselves (real rows with data, the quantization
+    tail with zeros) — a calloc here cost more than the packing itself
+    (full-buffer read+write memset; measured ~1.3 ms per 12 MB batch)."""
+    dtype = np.dtype(dtype)
+    count = int(np.prod(shape))
+    buf = np.empty(count * dtype.itemsize + align, np.uint8)
     off = (-buf.ctypes.data) % align
     return buf[off : off + count * dtype.itemsize].view(dtype).reshape(shape)
 
@@ -207,7 +219,8 @@ def native_pack_bucket_tiles(
 ) -> np.ndarray | None:
     """Pack an exact bucket into the tile-major device wire format
     (tiles, nblocks*16, 8, 128) — see packing.pack_spans.  Rows past
-    ``lengths.size`` stay zero (np.zeros/calloc)."""
+    ``lengths.size`` are zeroed by the packer (ABI 5: the output buffer
+    is handed over uninitialized)."""
     lib = _load()
     if lib is None:
         return None
@@ -215,7 +228,7 @@ def native_pack_bucket_tiles(
     offsets = np.ascontiguousarray(offsets, np.int64)
     lengths = np.ascontiguousarray(lengths, np.int64)
     n = int(lengths.size)
-    out = _aligned_zeros((tiles, nblocks * 16, 8, 128), np.uint32)
+    out = _aligned_empty((tiles, nblocks * 16, 8, 128), np.uint32)
     lib.vkmr_pack_bucket_tiles(
         _ptr(data, ctypes.c_uint8),
         _ptr(offsets, ctypes.c_int64),
@@ -223,6 +236,7 @@ def native_pack_bucket_tiles(
         n,
         nblocks,
         _ptr(out, ctypes.c_uint32),
+        tiles * 1024,
     )
     return out
 
@@ -232,7 +246,8 @@ def native_pack_stream_bucket_tiles(
 ) -> np.ndarray | None:
     """Stream-bucket packer, tile-major: FIPS padding at each leaf's real
     block boundary, zero words up to ``cap_blocks`` blocks
-    (packing._pack_stream_tiles contract)."""
+    (packing._pack_stream_tiles contract; the packer writes the zeros —
+    the buffer is handed over uninitialized, ABI 5)."""
     lib = _load()
     if lib is None:
         return None
@@ -240,7 +255,7 @@ def native_pack_stream_bucket_tiles(
     offsets = np.ascontiguousarray(offsets, np.int64)
     lengths = np.ascontiguousarray(lengths, np.int64)
     n = int(lengths.size)
-    out = _aligned_zeros((tiles, cap_blocks * 16, 8, 128), np.uint32)
+    out = _aligned_empty((tiles, cap_blocks * 16, 8, 128), np.uint32)
     lib.vkmr_pack_stream_bucket_tiles(
         _ptr(data, ctypes.c_uint8),
         _ptr(offsets, ctypes.c_int64),
@@ -248,6 +263,7 @@ def native_pack_stream_bucket_tiles(
         n,
         cap_blocks,
         _ptr(out, ctypes.c_uint32),
+        tiles * 1024,
     )
     return out
 

@@ -85,8 +85,12 @@ inline void transpose8x8_stage(const uint8_t* rows, int64_t pitch, int64_t w,
 #endif
 
 // `stage` is a 64-byte-aligned (W_max, 16) u32 thread-local scratch.
+// Lines [W, W_full) are emitted as zeros (the rung tail of short stream
+// rows): the packer owns the whole zero contract, so callers can hand in
+// UNINITIALIZED output buffers — round 4's np.zeros/calloc paid a full
+// 12 MB read+write memset per batch before packing even started.
 inline void transpose_group16(const uint8_t* rows, int64_t pitch, int64_t W,
-                              uint32_t* out, uint32_t* stage) {
+                              int64_t W_full, uint32_t* out, uint32_t* stage) {
   int64_t w = 0;
 #if defined(__AVX2__)
   for (; w + 8 <= W; w += 8) {
@@ -112,11 +116,40 @@ inline void transpose_group16(const uint8_t* rows, int64_t pitch, int64_t W,
       _mm256_stream_si256(reinterpret_cast<__m256i*>(out + v * 1024), a);
       _mm256_stream_si256(reinterpret_cast<__m256i*>(out + v * 1024 + 8), b);
     }
+    const __m256i z = _mm256_setzero_si256();
+    for (int64_t v = W; v < W_full; ++v) {
+      _mm256_stream_si256(reinterpret_cast<__m256i*>(out + v * 1024), z);
+      _mm256_stream_si256(reinterpret_cast<__m256i*>(out + v * 1024 + 8), z);
+    }
     return;
   }
 #endif
   for (int64_t v = 0; v < W; ++v)
     std::memcpy(out + v * 1024, stage + v * 16, 64);
+  for (int64_t v = W; v < W_full; ++v)
+    std::memset(out + v * 1024, 0, 64);
+}
+
+// Zero the quantization tail: rows [n, total_rows) of the tile-major
+// output (total_rows is a multiple of 1024).  Within the partial tile a
+// row range is a contiguous column suffix of every word-plane line; whole
+// trailing tiles are one block memset.  This replaces the caller-side
+// calloc of the WHOLE buffer: a full bucket (the engine's steady state)
+// now zeroes nothing at all.
+void zero_row_tail(uint32_t* out, int64_t words_per, int64_t n,
+                   int64_t total_rows) {
+  int64_t tile = n >> 10;
+  const int64_t col = n & 1023;
+  const int64_t total_tiles = total_rows >> 10;
+  if (col) {
+    uint32_t* tbase = out + tile * words_per * 1024;
+    for (int64_t w = 0; w < words_per; ++w)
+      std::memset(tbase + w * 1024 + col, 0, size_t((1024 - col) * 4));
+    ++tile;
+  }
+  if (tile < total_tiles)
+    std::memset(out + tile * words_per * 1024, 0,
+                size_t((total_tiles - tile) * words_per * 4096));
 }
 
 // Shared driver for both packers: pad leaves 16 at a time into contiguous
@@ -129,7 +162,7 @@ inline void transpose_group16(const uint8_t* rows, int64_t pitch, int64_t W,
 // ceil(n/16)*16 is already zero — np.zeros today).
 void pack_tiles_grouped(const uint8_t* data, const int64_t* offsets,
                         const int64_t* lengths, int64_t n, int64_t words_per,
-                        bool exact, uint32_t* out) {
+                        bool exact, uint32_t* out, int64_t total_rows) {
   const int64_t pitch_bytes = words_per * 4;
   const int64_t ngroups = (n + 15) / 16;
 #pragma omp parallel
@@ -143,6 +176,27 @@ void pack_tiles_grouped(const uint8_t* data, const int64_t* offsets,
     for (int64_t g = 0; g < ngroups; ++g) {
       const int64_t r0 = g * 16;
       const int cnt = int(n - r0 < 16 ? n - r0 : 16);
+#if defined(__SSE2__) || defined(_M_X64)
+      // The engine packs batches in bit-reversed leaf order, so offsets
+      // arrive permuted and each row's source is a random ~100 B read over
+      // the whole batch — DRAM-latency-bound (measured 2.3x slower than
+      // sequential).  Prefetch the NEXT group's sources while padding this
+      // one; the pattern is fully known from the offset array.
+      if (r0 + 16 < n) {
+        const int pn = int(n - r0 - 16 < 16 ? n - r0 - 16 : 16);
+        for (int j = 0; j < pn; ++j) {
+          const uint8_t* src = data + offsets[r0 + 16 + j];
+          const int64_t len = lengths[r0 + 16 + j];
+          // Cap per-row prefetch: long (stream-bucket) leaves read fine
+          // with the hardware prefetcher; it is the SHORT permuted rows
+          // whose latency needs hiding.
+          const int64_t pf = len < 512 ? len : 512;
+          for (int64_t o = 0; o < pf; o += 64)
+            _mm_prefetch(reinterpret_cast<const char*>(src + o), _MM_HINT_T0);
+          _mm_prefetch(reinterpret_cast<const char*>(src + len - 1), _MM_HINT_T0);
+        }
+      }
+#endif
       // Stream rows shorter than the rung capacity keep their calloc-zero
       // word planes past the group's longest real row — when the caller
       // sorts the bucket by block count, groups are near-homogeneous and
@@ -160,8 +214,11 @@ void pack_tiles_grouped(const uint8_t* data, const int64_t* offsets,
         std::memset(scratch.data() + cnt * pitch_bytes, 0,
                     size_t((16 - cnt) * pitch_bytes));
       uint32_t* base = out + (r0 >> 10) * words_per * 1024 + (r0 & 1023);
-      transpose_group16(scratch.data(), pitch_bytes, group_w, base, stage);
+      transpose_group16(scratch.data(), pitch_bytes, group_w, words_per, base,
+                        stage);
     }
+#pragma omp single nowait
+    zero_row_tail(out, words_per, ((n + 15) / 16) * 16, total_rows);
 #if defined(__AVX2__)
     // Each thread drains its own write-combining buffers before reaching
     // the parallel region's closing barrier: SFENCE orders only the
@@ -183,25 +240,29 @@ extern "C" {
 // r%128] — the layout the Pallas mapping kernel consumes with zero on-
 // device reshuffling (the role of the reference's Batch staging buffers,
 // /root/reference/src/vkmr/Batches.cpp:64-121, with the word-major twist
-// that a lane-per-leaf kernel wants).  `out` must be zero-initialized
-// (rows past n stay zero).
+// that a lane-per-leaf kernel wants).  `out` may be UNINITIALIZED
+// (`total_rows` = tiles*1024): the packer writes every row — real rows
+// with data, rows past n with zeros — so callers skip the full-buffer
+// calloc that used to cost more than the packing itself (ABI 5).
 void vkmr_pack_bucket_tiles(const uint8_t* data, const int64_t* offsets,
                             const int64_t* lengths, int64_t n, int32_t nblocks,
-                            uint32_t* out) {
+                            uint32_t* out, int64_t total_rows) {
   pack_tiles_grouped(data, offsets, lengths, n, int64_t(nblocks) * 16,
-                     /*exact=*/true, out);
+                     /*exact=*/true, out, total_rows);
 }
 
 // Pack a *stream* bucket into the same tile-major wire format: rows of
 // `cap_blocks` 64-byte message blocks, each leaf's FIPS padding (0x80 +
 // 64-bit big-endian bit length) at the leaf's REAL padded block boundary;
-// words past it stay zero (the kernel predicates those blocks off —
-// packing._pack_stream_tiles semantics).  `out` must be zero-initialized.
+// words past it are written as zeros (the kernel predicates those blocks
+// off — packing._pack_stream_tiles semantics).  `out` may be
+// UNINITIALIZED, like vkmr_pack_bucket_tiles.
 void vkmr_pack_stream_bucket_tiles(const uint8_t* data, const int64_t* offsets,
                                    const int64_t* lengths, int64_t n,
-                                   int32_t cap_blocks, uint32_t* out) {
+                                   int32_t cap_blocks, uint32_t* out,
+                                   int64_t total_rows) {
   pack_tiles_grouped(data, offsets, lengths, n, int64_t(cap_blocks) * 16,
-                     /*exact=*/false, out);
+                     /*exact=*/false, out, total_rows);
 }
 
 // glibc-compatible TYPE_3 additive-feedback rand(), reimplemented from the

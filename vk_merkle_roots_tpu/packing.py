@@ -184,13 +184,30 @@ def pack_spans(
     count = int(lengths.size)
     if count == 0:
         return PackedLeaves([], np.zeros(0, np.int64), np.zeros(0, np.int64), 0, 0)
-    if int(lengths.max(initial=0)) > MAX_LEAF_BYTES:
+    lmax = int(lengths.max(initial=0))
+    if lmax > MAX_LEAF_BYTES:
         raise ValueError(f"leaf exceeds MAX_LEAF_BYTES={MAX_LEAF_BYTES}")
 
     try:
         from .native.lib import native_pack_bucket_tiles
     except Exception:
         native_pack_bucket_tiles = None
+
+    # Fast path: every leaf lands in the same exact bucket (uniform-ish
+    # batches — the engine's steady state).  Skips the per-bucket NumPy
+    # machinery (unique/isin/index gathers, ~40% of a uniform flush's pack
+    # time) and returns an identity order.
+    if native_pack_bucket_tiles is not None and padded_block_count(lmax) <= UNROLL_MAX_BLOCKS:
+        b = padded_block_count(lmax)
+        if int(lengths.min()) + 9 > (b - 1) * BLOCK_BYTES:  # same block count
+            tiles = quantized_tiles(count)
+            words = native_pack_bucket_tiles(data, offsets, lengths, b, tiles)
+            if words is not None:
+                order = np.arange(count, dtype=np.int64)
+                return PackedLeaves(
+                    [Bucket(b, words, count)], order, order, count,
+                    int(lengths.sum()),
+                )
 
     nblocks = (lengths + 9 + BLOCK_BYTES - 1) // BLOCK_BYTES
     host_spans = None
