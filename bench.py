@@ -352,18 +352,23 @@ def bench_engine(
     lens = np.full(B, leaf_bytes, np.int64)
 
     class StagedEngine(TpuSha256D):
-        """H2D-staged variant: identical packed words upload once."""
+        """H2D-staged variant: identical packed words upload once.  The
+        staging hook covers BOTH the fused hash+append fast path and the
+        general leaf_hashes path."""
 
         _staged_words = None
 
-        def _hash_packed(self, packed):
-            assert len(packed.buckets) == 1 and packed.host_spans is None
-            b = packed.buckets[0]
+        def _stage_words(self, b):
             if StagedEngine._staged_words is None:
                 put = jax.device_put(b.words, self._device)
                 np.asarray(put[0, 0, 0, :1])  # settle the one real upload
                 StagedEngine._staged_words = put
-            b.words = StagedEngine._staged_words
+            return StagedEngine._staged_words
+
+        def _hash_packed(self, packed):
+            assert len(packed.buckets) == 1 and packed.host_spans is None
+            b = packed.buckets[0]
+            b.words = self._stage_words(b)
             return super()._hash_packed(packed)
 
     StagedEngine._staged_words = None

@@ -53,6 +53,11 @@ class MeshSha256D(TpuSha256D):
         digs = leaf_hashes(packed, self.config.backend, device=dev)
         return jax.device_put(digs, self._devices[0])
 
+    def _hash_append_fused(self, packed, offset: int):
+        # Hashing round-robins across devices while the slice buffer lives
+        # on the primary — a fused hash+append would pin both to one chip.
+        return False
+
     def _sharded_reduce(self):
         """Cached shard_map slice reducer over all devices (pow-2 prefix)."""
         if self._sharded_fn is None:

@@ -599,6 +599,47 @@ class TpuSha256D(Sha256dEngine):
 
         return leaf_hashes(packed, self.config.backend, device=self._device)
 
+    def _stage_words(self, bucket):
+        """Upload one bucket's packed words (hook: the bench's staged
+        engine substitutes a pre-uploaded device array here)."""
+        return _jax().device_put(bucket.words, self._device)
+
+    def _hash_append_fused(self, packed, offset: int):
+        """Steady-state fast path: ONE compiled dispatch hashing an exact
+        single-bucket batch and appending it into the slice buffer
+        (``bucket_hash_append``), replacing the hash-jit + append-jit pair.
+        Applicable when the pack is a single exact bucket in identity
+        order (the uniform fast path of ``pack_spans``) and the slice
+        layout is plain append.  Returns True when dispatched.  The MESH
+        engine overrides this to False: it hashes on round-robined devices
+        and appends on the primary, which cannot fuse."""
+        if "_hash_packed" in self.__dict__:
+            # Instance-patched hashing (fault injection, custom hooks):
+            # fusing would silently bypass the caller's override.
+            return False
+        if packed.host_spans is not None or len(packed.buckets) != 1:
+            return False
+        b = packed.buckets[0]
+        # Identity order is flagged by pack_spans' fast path sharing one
+        # array for order/inverse_order (O(1) check).
+        if b.counts is not None or packed.order is not packed.inverse_order:
+            return False
+        from ..ops.leaf_hash import _use_interpret, bucket_hash_append
+
+        interpret = _use_interpret()
+        use_pallas = self.config.backend == "pallas" or (
+            self.config.backend == "auto" and not interpret
+        )
+        self._buf = bucket_hash_append(
+            self._stage_words(b),
+            self._buf,
+            np.int32(offset),
+            b.nblocks,
+            use_pallas,
+            interpret,
+        )
+        return True
+
     def _reduce_full_slice(self, digests):
         """Reduce one full slice to its root (hook for multi-device
         engines); returns an async device (8,) array.  Dispatches on the
@@ -901,10 +942,13 @@ class TpuSha256D(Sha256dEngine):
                 sampled_bytes = 0
                 sw.Start()  # map_dispatch must not absorb the sample syncs
             for packed, nbytes in work:
-                digs = self._hash_packed(packed)
                 if self._slice_grouped and not group_flush:
+                    digs = self._hash_packed(packed)
                     self._append_grouped_partial(digs, packed.count)
+                elif self._hash_append_fused(packed, self._fill):
+                    self._fill += packed.count
                 else:
+                    digs = self._hash_packed(packed)
                     self._buf = append(self._buf, digs, np.int32(self._fill))
                     self._fill += packed.count
                 done += 1

@@ -113,6 +113,19 @@ def _bucket_hashes(tiles, nblocks: int, use_pallas: bool, interpret: bool):
     return out.reshape(8, t * TILE)
 
 
+@partial(jax.jit, static_argnums=(3, 4, 5), donate_argnums=(1,))
+def bucket_hash_append(tiles, buf, offset, nblocks: int, use_pallas: bool, interpret: bool):
+    """Fused steady-state flush: hash one exact bucket AND append its
+    digest columns into the slice buffer in a single compiled dispatch —
+    the separate hash + append jit calls each paid per-dispatch overhead
+    on the engine's hot path (~1.3 ms/flush through the dev tunnel, the
+    largest host cost after packing once the pack path was fixed).  Same
+    traced math as ``_bucket_hashes`` + ``dynamic_update_slice``, so
+    byte-identical by construction."""
+    digs = _bucket_hashes(tiles, nblocks, use_pallas, interpret)
+    return jax.lax.dynamic_update_slice(buf, digs, (0, offset))
+
+
 def _stream_kernel(x_ref, c_ref, o_ref, state_ref, *, nsteps: int):
     """Hash 1024 long leaves, one message block per grid step.
 
