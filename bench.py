@@ -333,11 +333,11 @@ def bench_engine(
     Returns (payload_GBps, leaves_per_sec, ok).
 
     Defaults are the engine's production shapes (2^20-leaf slices fed by
-    2^16-leaf batches).  The result is HOST-bound: ~1 GB/s of packing on
-    this 2-core VM plus per-dispatch tunnel RPC (small batches halve the
-    rate to ~0.37 GB/s — that is dispatch amortization, not device time;
-    the device itself maps+reduces this stream at 30+ GB/s, see
-    stream_pipeline)."""
+    2^16-leaf batches).  The result is HOST-bound on this 2-core VM —
+    pack-ahead threading, the fused flush dispatch, and the ABI-5 packer
+    put it at 1.6-1.8 GB/s here (2.8+ on longer streams as the finalize
+    RTT amortizes), against a device that maps+reduces the same stream at
+    30+ GB/s (see stream_pipeline).  docs/PERF.md §7 has the breakdown."""
     import jax
 
     from vk_merkle_roots_tpu import oracle
