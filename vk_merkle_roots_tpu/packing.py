@@ -197,7 +197,11 @@ def pack_spans(
     # batches — the engine's steady state).  Skips the per-bucket NumPy
     # machinery (unique/isin/index gathers, ~40% of a uniform flush's pack
     # time) and returns an identity order.
-    if native_pack_bucket_tiles is not None and padded_block_count(lmax) <= UNROLL_MAX_BLOCKS:
+    if (
+        native_pack_bucket_tiles is not None
+        and padded_block_count(lmax) <= UNROLL_MAX_BLOCKS
+        and (max_device_blocks is None or max_device_blocks >= padded_block_count(lmax))
+    ):
         b = padded_block_count(lmax)
         if int(lengths.min()) + 9 > (b - 1) * BLOCK_BYTES:  # same block count
             tiles = quantized_tiles(count)
