@@ -9,6 +9,7 @@ import pytest
 from vk_merkle_roots_tpu import CpuSha256D, oracle
 from vk_merkle_roots_tpu.config import EngineConfig
 from vk_merkle_roots_tpu.models.tpu import TpuSha256D
+from tests.conftest import random_leaves
 
 
 @pytest.mark.parametrize("trial", range(8))
@@ -86,3 +87,42 @@ def test_randomized_grouped_stream(trial):
         assert dev.AddMany(leaves[i : i + step])
         i += step
     assert dev.Root() == want, f"slice_log2={slice_log2} batch={batch} n={n}"
+
+
+def test_pack_ahead_churn_fuzz(rng):
+    """Random interleavings of AddMany / Drain / mid-stream Root /
+    Reset across pack-ahead depths 0-3: the producer/consumer flush
+    pipeline must stay oracle-exact through every churn pattern
+    (grow-after-Root reopen, drains mid-group, depth-1 and inline
+    modes)."""
+    from vk_merkle_roots_tpu.config import EngineConfig
+    from vk_merkle_roots_tpu.models.tpu import TpuSha256D
+
+    for trial in range(6):
+        depth = int(rng.integers(0, 4))
+        e = TpuSha256D(
+            name=f"churn{trial}",
+            config=EngineConfig(
+                slice_log2=int(rng.integers(4, 7)),
+                batch_leaves=int(1 << rng.integers(3, 6)),
+                backend="xla",
+                pack_ahead=depth,
+            ),
+        )
+        leaves: list[bytes] = []
+        for _ in range(int(rng.integers(6, 14))):
+            op = int(rng.integers(0, 10))
+            if op < 6:
+                chunk = random_leaves(rng, int(rng.integers(1, 90)), maxlen=50)
+                leaves.extend(chunk)
+                assert e.AddMany(chunk)
+            elif op < 8:
+                assert e.Drain()
+            elif op == 8 and leaves:
+                assert e.Root() == oracle.merkle_root(leaves).hex(), (
+                    trial, depth, len(leaves))
+            else:
+                assert e.Reset()
+                leaves = []
+        if leaves:
+            assert e.Root() == oracle.merkle_root(leaves).hex(), (trial, depth)
