@@ -788,7 +788,12 @@ def main():
     stream_runs = [bench_stream_pipeline() for _ in range(REPEATS)]
     stream_gbps = float(np.median([r[0] for r in stream_runs]))
     stream_leaves = float(np.median([r[1] for r in stream_runs]))
-    engine_runs = [bench_engine() for _ in range(2)]
+    # 3 runs: the FIRST engine run of a process is reproducibly ~40%
+    # slower (the malloc arena keeps growing through its timed phase as
+    # JAX releases staged buffers late; later runs live inside the
+    # established high-water mark) — the median reports steady state and
+    # the spread keeps the cold run visible.
+    engine_runs = [bench_engine() for _ in range(3)]
     engine_ok = all(r[2] for r in engine_runs)
     engine_gbps = float(np.median([r[0] for r in engine_runs]))
     engine_leaves = float(np.median([r[1] for r in engine_runs]))
