@@ -276,3 +276,41 @@ def test_overlapping_spans_digest_covers_leaf_bytes(tmp_path):
     ).hexdigest()
     assert e._stream_sha.hexdigest() == want
     assert e._stream_bytes == 20
+
+
+def test_cli_proof_across_resume_with_sidecar(tmp_path):
+    """End-to-end CLI: --journal --proof persists digest sidecars; the
+    resumed run reloads them (verified against the journal roots) and
+    emits a valid authentication path for a leaf inside the JOURNALED
+    prefix — the cli.py sidecar wiring, not just the engine API."""
+    leaves = [bytes([65 + i % 26]) * (1 + i % 40) for i in range(200)]
+    stream = b"".join(x + b"\n" for x in leaves)
+    prefix = b"".join(x + b"\n" for x in leaves[:96])  # ends mid-slice 2
+    journal = str(tmp_path / "j.jsonl")
+
+    a = _run_cli(["XLA", "--slice-log2", "6", "--journal", journal, "--proof", "5"],
+                 prefix)
+    assert a.returncode == 0, a.stderr.decode()
+    assert os.path.exists(journal + ".digests.0.npy")
+
+    # Resume over the FULL stream, prove leaf 10 (inside journaled slice 0).
+    b = _run_cli(["XLA", "--slice-log2", "6", "--journal", journal, "--proof", "10"],
+                 stream)
+    assert b.returncode == 0, b.stderr.decode()
+    err = b.stderr.decode()
+    assert "Resuming from journal: 1 slice(s)" in err
+    out = b.stdout.decode()
+    root = out.split("=> ")[1].split(" ")[0]
+    assert root == oracle.merkle_root(leaves).hex()
+    proof = json.loads(out.strip().splitlines()[-1])
+    assert proof["leaf_index"] == 10 and proof["root"] == root
+    path = [(bytes.fromhex(p["sibling"]), p["side"]) for p in proof["path"]]
+    assert oracle.verify_proof(oracle.leaf_hash(leaves[10]), path).hex() == root
+
+    # A corrupted sidecar must refuse the resume, not mis-prove.
+    d = np.load(journal + ".digests.0.npy")
+    d[0, 0] ^= 1
+    np.save(journal + ".digests.0.npy", d)
+    c = _run_cli(["XLA", "--slice-log2", "6", "--journal", journal, "--proof", "10"],
+                 stream)
+    assert c.returncode == 1 and b"stale or corrupted" in c.stderr

@@ -94,3 +94,40 @@ def test_sharded_reduce_fn_matches_oracle(rng):
     got = words_to_digest(np.asarray(fn(shard_digests(mesh, jnp.asarray(digs.T)))))
     want = oracle.merkle_root_of_digests([words_to_digest(digs[i]) for i in range(n)])
     assert got == want
+
+
+def test_sharded_root_16_devices_subprocess(rng):
+    """Meshes wider than the suite's 8 virtual devices: 16-way DP in a
+    fresh subprocess (2 tiles/device), root byte-exact vs the oracle."""
+    import os
+    import subprocess
+    import sys
+
+    code = (
+        "import numpy as np\n"
+        "from vk_merkle_roots_tpu import oracle\n"
+        "from vk_merkle_roots_tpu.packing import pack_leaves\n"
+        "from vk_merkle_roots_tpu.parallel.mesh import make_mesh, "
+        "make_sharded_root_fn, shard_words\n"
+        "from vk_merkle_roots_tpu.utils.hexutil import words_to_digest\n"
+        "rng = np.random.default_rng(11)\n"
+        "n = 32768\n"
+        "leaves = [rng.integers(32, 126, size=24, dtype=np.uint8).tobytes()"
+        " for _ in range(n)]\n"
+        "packed = pack_leaves(leaves)\n"
+        "mesh = make_mesh(n_devices=16)\n"
+        "fn = make_sharded_root_fn(mesh, n, nblocks=1, backend='xla')\n"
+        "root = words_to_digest(np.asarray(fn(shard_words(mesh, "
+        "packed.buckets[0].words))))\n"
+        "assert root == oracle.merkle_root(leaves), 'mismatch'\n"
+        "print('OK16')\n"
+    )
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               XLA_FLAGS="--xla_force_host_platform_device_count=16")
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, env=env,
+        timeout=600, cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert out.returncode == 0, out.stderr[-3000:]
+    assert "OK16" in out.stdout
