@@ -304,6 +304,11 @@ def main(argv=None) -> int:
     print(f"Initializing for: {name}")
     if name != "CPU":
         enable_persistent_cache()
+        print(
+            "Note: the first run on a new batch/slice shape compiles its "
+            "kernels (can take minutes); compiles are cached persistently.",
+            file=sys.stderr,
+        )
     try:
         engine = registry.Get(name, config)
     except (ValueError, KeyError) as exc:
