@@ -295,3 +295,20 @@ def test_pack_ahead_depths_match_oracle(rng, depth):
     assert e.Reset()
     assert e.AddMany(leaves[:10])
     assert e.Root() == oracle.merkle_root(leaves[:10]).hex()
+
+
+def test_device_tail_finalize_matches_oracle(rng):
+    """host_tail_leaves=0 pins the DEVICE finalize (binary-decomposition
+    reduction) so the engine-level wiring of that path stays covered now
+    that small tails default to the host reduce."""
+    leaves = random_leaves(rng, 333, maxlen=60)
+    for slice_log2 in (6, 10):  # multi-slice ragged tail / single slice
+        e = TpuSha256D(
+            name="dt",
+            config=EngineConfig(
+                slice_log2=slice_log2, batch_leaves=50, backend="xla",
+                host_tail_leaves=0,
+            ),
+        )
+        assert e.AddMany(leaves)
+        assert e.Root() == oracle.merkle_root(leaves).hex()

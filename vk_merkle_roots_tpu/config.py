@@ -85,6 +85,14 @@ class EngineConfig:
     # materializes, making multi-hour streams resumable (SURVEY.md §5.4
     # stretch; the reference has no checkpoint story).  None disables.
     journal_path: str | None = None
+    # Finalize ragged tails at or below this leaf count on the HOST (one
+    # 32 B/leaf readback + native SHA-NI reduce, ~1 ms for 2^13) instead
+    # of the device's binary-decomposition chain: a tiny tail costs ~10
+    # distinct small device programs whose per-process load/dispatch
+    # round-trips dwarf the work (measured ~19 s of finalize for a
+    # 1024-leaf stream through the dev tunnel; milliseconds on the host).
+    # 0 forces the device path (kept for tests and benchmarks).
+    host_tail_leaves: int = 8192
 
 
 def auto_slice_log2(max_fraction: float = 0.125, default: int = 20, cap: int = 26) -> int:

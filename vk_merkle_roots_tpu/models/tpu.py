@@ -1064,6 +1064,22 @@ class TpuSha256D(Sha256dEngine):
             self._journal_materialized()
         return True
 
+    @staticmethod
+    def _host_reduce(rows: np.ndarray, height: int) -> bytes:
+        """Merkle-reduce (n, 32) digest byte rows on the host: native
+        SHA-NI when available, hashlib otherwise.  ``height=-1`` reduces to
+        one node; ``height>=0`` runs exactly that many levels (the phantom
+        full-height rule)."""
+        from ..native.lib import native_merkle_root
+
+        root = native_merkle_root(rows, height=height)
+        if root is not None:
+            return root
+        digs = [rows[i].tobytes() for i in range(rows.shape[0])]
+        if height < 0:
+            return oracle.merkle_root_of_digests(digs)
+        return oracle.reduce_slice(digs, height)
+
     def _materialize_roots(self, take) -> None:
         """Materialize the given live (device-array) slice roots into host
         bytes in ONE stacked readback — per-root readbacks pay one
@@ -1114,25 +1130,44 @@ class TpuSha256D(Sha256dEngine):
         sw = StopWatch()
         if self._fill > 0 and self.config.keep_digests and not self._tail_done:
             self._slice_digests.append(self._host_natural_digests(self._fill))
+        # Small ragged tails finalize on the HOST: one 32 B/leaf readback +
+        # native SHA-NI reduce beats the device's binary-decomposition
+        # chain of ~10 distinct small programs, whose per-process
+        # load/dispatch round-trips dwarf the actual work for tiny counts
+        # (EngineConfig.host_tail_leaves; byte-exact either way — the
+        # differential suite runs both paths).
+        host_tail = 0 < self._fill <= self.config.host_tail_leaves
+        if host_tail:
+            rows = np.ascontiguousarray(
+                self._host_natural_digests(self._fill).astype(">u4")
+            ).view(np.uint8).reshape(self._fill, 32)
         if self._fill > 0:
             if not self._roots:
                 # Single (possibly ragged) slice: plain Merkle root.
                 self._tail_done = True
-                root = merkle_root_of_digest_cols(
-                    self._natural_cols(self._fill), self._fill, self.config.backend
-                )
+                if host_tail:
+                    root = self._host_reduce(rows, height=-1)
+                else:
+                    root = merkle_root_of_digest_cols(
+                        self._natural_cols(self._fill), self._fill, self.config.backend
+                    )
                 self.times.add("finalize", sw.Elapsed())
                 return root.hex()
             if not self._tail_done:
                 # Ragged trailing slice: phantom full height (README.md:94).
-                self._roots.append(
-                    slice_root(
-                        self._natural_cols(self._fill),
-                        self._fill,
-                        self.config.slice_log2,
-                        self.config.backend,
+                if host_tail:
+                    self._roots.append(
+                        self._host_reduce(rows, height=self.config.slice_log2)
                     )
-                )
+                else:
+                    self._roots.append(
+                        slice_root(
+                            self._natural_cols(self._fill),
+                            self._fill,
+                            self.config.slice_log2,
+                            self.config.backend,
+                        )
+                    )
                 self._tail_done = True
         if not self._roots:
             return ""
